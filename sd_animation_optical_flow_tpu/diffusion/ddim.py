@@ -1,0 +1,145 @@
+"""Guided DDIM sampling as a single `lax.scan`.
+
+Re-designs the reference's per-step Python loops
+(reference: ldm/models/diffusion/ddim.py:300-336,
+guided_ldm.py:26-158, guided_ldm_inpainting.py:28-137) as pure scanned
+step functions: all per-step scalars (timesteps, alphas, sigmas,
+guidance strengths) are precomputed arrays gathered by step index, CFG
+runs as a doubled batch through one model call, and the PRNG is threaded
+explicitly (replacing torch.manual_seed(1234)).
+
+Three composable behaviors, matching the reference facades:
+  * plain img2img decode (stochastic_encode -> t_enc denoise steps),
+  * latent/pixel guidance blending of pred_x0 (guided_ldm.py:79-123),
+  * masked re-noising inpainting: before each step the known region is
+    re-imposed as q_sample(init_latent, t) (guided_ldm_inpainting.py:127-129).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .schedule import (DDIMParams, DiffusionSchedule, predict_eps_from_z_and_v,
+                       q_sample)
+
+
+class CondBundle(NamedTuple):
+    """Conditioning for one CFG pass. ``concat`` is the 5-channel inpaint
+    conditioning appended on the channel axis ('hybrid' mode,
+    ddpm.py:1392-1423); None means pure cross-attention conditioning."""
+    crossattn: jnp.ndarray                 # [B, L, D]
+    concat: Optional[jnp.ndarray] = None   # [B, h, w, Cc] or None
+
+
+def cfg_model_call(model_fn: Callable, x, t, cond: CondBundle,
+                   uncond: CondBundle, scale: float):
+    """Classifier-free guidance with batch doubling ([uncond|cond] order,
+    matching guided_ldm.py:41-63)."""
+    x_in = jnp.concatenate([x, x], axis=0)
+    t_in = jnp.concatenate([t, t], axis=0)
+    ctx = jnp.concatenate([uncond.crossattn, cond.crossattn], axis=0)
+    if cond.concat is not None:
+        cc = jnp.concatenate([uncond.concat, cond.concat], axis=0)
+        x_in = jnp.concatenate([x_in, cc.astype(x_in.dtype)], axis=-1)
+    out = model_fn(x_in, t_in, ctx)
+    out_u, out_c = jnp.split(out, 2, axis=0)
+    return out_u + scale * (out_c - out_u)
+
+
+def stochastic_encode(ddim: DDIMParams, x0, t_enc: int, noise):
+    """Noise x0 to DDIM step t_enc (ddim.py:300-314 indexing preserved:
+    alphas are gathered at index t_enc, one past the first decode index)."""
+    a = jnp.sqrt(ddim.alphas[t_enc]).astype(x0.dtype)
+    s = ddim.sqrt_one_minus_alphas[t_enc].astype(x0.dtype)
+    return a * x0 + s * noise
+
+
+def ddim_decode(
+    model_fn: Callable,
+    sched: DiffusionSchedule,
+    ddim: DDIMParams,
+    x_latent: jnp.ndarray,
+    cond: CondBundle,
+    uncond: CondBundle,
+    t_enc: int,
+    *,
+    cfg_scale: float = 7.0,
+    parameterization: str = "eps",
+    rng: Optional[jax.Array] = None,
+    # --- guidance blending (guided_ldm.py path) ---
+    guidance_latent: Optional[jnp.ndarray] = None,
+    guidance_strength: Optional[jnp.ndarray] = None,  # [t_enc, ...] bcast to x
+    # --- inpainting re-noise (guided_ldm_inpainting.py path) ---
+    init_latent: Optional[jnp.ndarray] = None,
+    nmask: Optional[jnp.ndarray] = None,              # [h, w, 1] or [B,h,w,1]
+    renoise_gate: Optional[jnp.ndarray] = None,       # [t_enc] floats (gs)
+):
+    """Run t_enc guided DDIM steps from x_latent. Returns final x0 latent.
+
+    The decode walks ddim steps index t_enc-1 .. 0 (timesteps flipped),
+    exactly the reference's `decode` loop (guided_ldm.py:133-158).
+    """
+    if t_enc == 0:
+        return x_latent
+    b = x_latent.shape[0]
+    idxs = jnp.arange(t_enc - 1, -1, -1, dtype=jnp.int32)       # [t_enc]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    step_keys = jax.random.split(rng, t_enc)
+
+    use_guidance = guidance_latent is not None and guidance_strength is not None
+    use_inpaint = init_latent is not None and nmask is not None
+    if use_inpaint and renoise_gate is None:
+        renoise_gate = jnp.ones((t_enc,), jnp.float32)
+
+    def step(x, scan_in):
+        i, key, index = scan_in["i"], scan_in["key"], scan_in["index"]
+        ts = jnp.full((b,), ddim.timesteps[index], jnp.int32)
+
+        if use_inpaint:
+            k_noise, key = jax.random.split(key)
+            gate = renoise_gate[i] > 0
+            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            noised_init = q_sample(sched, init_latent, ts, noise)
+            nm = nmask.astype(x.dtype)
+            x = jnp.where(gate, (1.0 - nm) * noised_init + nm * x, x)
+
+        model_out = cfg_model_call(model_fn, x, ts, cond, uncond, cfg_scale)
+        if parameterization == "v":
+            e_t = predict_eps_from_z_and_v(sched, x, ts, model_out)
+        else:
+            e_t = model_out
+
+        a_t = ddim.alphas[index].astype(x.dtype)
+        a_prev = ddim.alphas_prev[index].astype(x.dtype)
+        sqrt_1m_at = ddim.sqrt_one_minus_alphas[index].astype(x.dtype)
+        sigma_t = ddim.sigmas[index].astype(x.dtype)
+
+        pred_x0 = (x - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
+
+        if use_guidance:
+            gs = guidance_strength[i].astype(x.dtype)
+            pred_x0 = pred_x0 * (1.0 - gs) + guidance_latent.astype(x.dtype) * gs
+            e_t = (x - jnp.sqrt(a_t) * pred_x0) / sqrt_1m_at
+
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t ** 2, 0.0)) * e_t
+        k_sig, _ = jax.random.split(key)
+        noise = sigma_t * jax.random.normal(k_sig, x.shape, x.dtype)
+        x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+        return x_prev, None
+
+    scan_ins = {"i": jnp.arange(t_enc, dtype=jnp.int32),
+                "key": step_keys, "index": idxs}
+    x_final, _ = jax.lax.scan(step, x_latent, scan_ins)
+    return x_final
+
+
+def guidance_progress(t_enc: int, total_steps: int):
+    """Per-step denoise progress p handed to guidance schedules
+    (guided_ldm.py:148-151): p_i = (i + (S - t_enc) + 1) / S."""
+    import numpy as np
+    i = np.arange(t_enc)
+    return (i + (total_steps - t_enc) + 1) / total_steps

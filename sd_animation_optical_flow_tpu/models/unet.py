@@ -1,0 +1,355 @@
+"""SD-1.5 UNet — functional JAX/NHWC rebuild with explicit K/V data flow.
+
+Capability parity with the reference's modified UNet
+(reference: ldm/modules/diffusionmodules/openaimodel.py:445-793,
+ldm/modules/attention.py:326-537): 320 base channels, mult (1,2,4,4),
+2 res blocks/level, spatial transformers at downsample factors 1/2/4,
+8 heads, context dim 768, and the cross-frame self-attention K/V
+capture + injection the reference threads through every transformer.
+
+TPU-first redesign decisions:
+  * K/V flow is functional: ``unet_apply`` returns a tuple of 16 per-layer
+    (k, v) pairs and accepts ``ref_kv`` (same static structure, token axis
+    possibly multiplied by #references) instead of the reference's
+    destructive ``pop(0)`` list mutation (openaimodel.py:85-86) and
+    per-call CPU offload (attention.py:353). Everything stays HBM-resident
+    and jit/scan-compatible.
+  * ControlNet residuals arrive as an explicit 13-tuple (12 encoder +
+    1 middle, reference: controlnet.py:50-56).
+  * NHWC activations; attention in fp32 softmax (attention.py:176-181).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention
+from .layers import (conv2d, conv2d_init, group_norm, layer_norm, linear,
+                     linear_init, norm_init, nearest_upsample2x, swish,
+                     timestep_embedding)
+
+# SD-1.5 has 16 spatial transformers: 6 encoder, 1 middle, 9 decoder.
+NUM_KV_LAYERS = 16
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4           # 9 for the inpainting UNet
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.model_channels * 4
+
+
+# ---------------------------------------------------------------------------
+# sub-block init
+# ---------------------------------------------------------------------------
+
+def _resblock_init(rng, in_ch, out_ch, emb_dim):
+    k = jax.random.split(rng, 4)
+    p = {
+        "in_norm": norm_init(in_ch),
+        "in_conv": conv2d_init(k[0], in_ch, out_ch, 3),
+        "emb_lin": linear_init(k[1], emb_dim, out_ch),
+        "out_norm": norm_init(out_ch),
+        "out_conv": conv2d_init(k[2], out_ch, out_ch, 3, zero=True),
+    }
+    if in_ch != out_ch:
+        p["skip"] = conv2d_init(k[3], in_ch, out_ch, 1)
+    return p
+
+
+def _resblock(p, x, emb):
+    h = swish(group_norm(p["in_norm"], x))
+    h = conv2d(p["in_conv"], h)
+    h = h + linear(p["emb_lin"], swish(emb))[:, None, None, :]
+    h = swish(group_norm(p["out_norm"], h))
+    h = conv2d(p["out_conv"], h)
+    if "skip" in p:
+        x = conv2d(p["skip"], x)
+    return x + h
+
+
+def _attn_proj_init(rng, dim, context_dim, inner):
+    k = jax.random.split(rng, 4)
+    return {
+        "to_q": linear_init(k[0], dim, inner, bias=False),
+        "to_k": linear_init(k[1], context_dim, inner, bias=False),
+        "to_v": linear_init(k[2], context_dim, inner, bias=False),
+        "to_out": linear_init(k[3], inner, dim),
+    }
+
+
+def _transformer_block_init(rng, dim, n_heads, context_dim):
+    k = jax.random.split(rng, 5)
+    return {
+        "norm1": norm_init(dim),
+        "attn1": _attn_proj_init(k[0], dim, dim, dim),
+        "norm2": norm_init(dim),
+        "attn2": _attn_proj_init(k[1], dim, context_dim, dim),
+        "norm3": norm_init(dim),
+        "ff_proj": linear_init(k[2], dim, dim * 8),   # GEGLU
+        "ff_out": linear_init(k[3], dim * 4, dim),
+    }
+
+
+def _spatial_transformer_init(rng, ch, n_heads, context_dim, depth):
+    k = jax.random.split(rng, depth + 3)
+    return {
+        "norm": norm_init(ch),
+        "proj_in": conv2d_init(k[0], ch, ch, 1),
+        "blocks": [_transformer_block_init(k[1 + i], ch, n_heads, context_dim)
+                   for i in range(depth)],
+        "proj_out": conv2d_init(k[depth + 1], ch, ch, 1, zero=True),
+    }
+
+
+# ---------------------------------------------------------------------------
+# attention forward with K/V capture / injection
+# ---------------------------------------------------------------------------
+
+def _heads(x, n_heads):
+    b, n, c = x.shape
+    return x.reshape(b, n, n_heads, c // n_heads)
+
+
+def _merge_heads(x):
+    b, n, h, d = x.shape
+    return x.reshape(b, n, h * d)
+
+
+def _self_attention(p, x, n_heads, ref_kv, bias=None):
+    """Self-attention; returns (out, (k, v)) with k/v of shape [B, N, C]
+    (pre-head-split, post-projection) for cross-frame reuse.
+
+    Injection semantics follow attention.py:358-369: if the reference K/V
+    batch matches, it replaces self K/V wholesale; if the current batch is
+    2x (CFG uncond|cond stacked), only the cond half attends to the
+    reference frames, the uncond half keeps its own K/V.
+    """
+    q = linear(p["to_q"], x)
+    k = linear(p["to_k"], x)
+    v = linear(p["to_v"], x)
+    captured = (k, v)
+
+    if ref_kv is not None:
+        rk, rv = ref_kv
+        rk = rk.astype(k.dtype)
+        rv = rv.astype(v.dtype)
+        if rk.shape[0] == x.shape[0]:
+            k, v = rk, rv
+        else:
+            # CFG batch (uncond half keeps own K/V). Pad own K/V along the
+            # token axis so both halves have static equal shapes; the
+            # duplicated keys in the uncond half are masked out via bias.
+            b = x.shape[0]
+            nref = rk.shape[1]
+            reps = -(-nref // k.shape[1])
+            own_k = jnp.tile(k[: b // 2], (1, reps, 1))[:, :nref]
+            own_v = jnp.tile(v[: b // 2], (1, reps, 1))[:, :nref]
+            k = jnp.concatenate([own_k, jnp.tile(rk, (b // 2, 1, 1))], axis=0)
+            v = jnp.concatenate([own_v, jnp.tile(rv, (b // 2, 1, 1))], axis=0)
+            n_own = captured[0].shape[1]
+            key_idx = jnp.arange(nref)
+            uncond_mask = jnp.where(key_idx < n_own, 0.0, -1e9)  # [nref]
+            half_bias = jnp.concatenate(
+                [jnp.tile(uncond_mask[None], (b // 2, 1)),
+                 jnp.zeros((b - b // 2, nref))], axis=0)
+            extra = half_bias[:, None, None, :]
+            bias = extra if bias is None else bias + extra
+
+    out = attention(_heads(q, n_heads), _heads(k, n_heads),
+                    _heads(v, n_heads), bias=bias)
+    return linear(p["to_out"], _merge_heads(out)), captured
+
+
+def _cross_attention(p, x, context, n_heads):
+    q = linear(p["to_q"], x)
+    k = linear(p["to_k"], context.astype(x.dtype))
+    v = linear(p["to_v"], context.astype(x.dtype))
+    out = attention(_heads(q, n_heads), _heads(k, n_heads), _heads(v, n_heads))
+    return linear(p["to_out"], _merge_heads(out))
+
+
+def _geglu_ff(p, x):
+    h = linear(p["ff_proj"], x)
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * jax.nn.gelu(gate, approximate=False)
+    return linear(p["ff_out"], h)
+
+
+def _spatial_transformer(p, x, context, n_heads, ref_kv, attn_bias=None):
+    """Returns (out, kv_list) — one (k, v) per depth block."""
+    b, h, w, c = x.shape
+    res = x
+    x = group_norm(p["norm"], x, eps=1e-6)
+    x = conv2d(p["proj_in"], x)
+    x = x.reshape(b, h * w, c)
+    kvs = []
+    for blk in p["blocks"]:
+        a1, kv = _self_attention(blk["attn1"], layer_norm(blk["norm1"], x),
+                                 n_heads, ref_kv, bias=attn_bias)
+        x = x + a1
+        kvs.append(kv)
+        x = x + _cross_attention(blk["attn2"], layer_norm(blk["norm2"], x),
+                                 context, n_heads)
+        x = x + _geglu_ff(blk, layer_norm(blk["norm3"], x))
+    x = x.reshape(b, h, w, c)
+    x = conv2d(p["proj_out"], x)
+    return x + res, kvs
+
+
+# ---------------------------------------------------------------------------
+# UNet init
+# ---------------------------------------------------------------------------
+
+def unet_init(rng, cfg: UNetConfig = UNetConfig()):
+    rngs = iter(jax.random.split(rng, 256))
+    mc = cfg.model_channels
+    ted = cfg.time_embed_dim
+    p: dict = {
+        "time_embed": [linear_init(next(rngs), mc, ted),
+                       linear_init(next(rngs), ted, ted)],
+    }
+
+    input_blocks: list = [{"conv": conv2d_init(next(rngs), cfg.in_channels, mc, 3)}]
+    ch = mc
+    input_chans = [mc]
+    ds = 1
+    for lvl, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            blk = {"res": _resblock_init(next(rngs), ch, mult * mc, ted)}
+            ch = mult * mc
+            if ds in cfg.attention_resolutions:
+                blk["transformer"] = _spatial_transformer_init(
+                    next(rngs), ch, cfg.num_heads, cfg.context_dim,
+                    cfg.transformer_depth)
+            input_blocks.append(blk)
+            input_chans.append(ch)
+        if lvl != len(cfg.channel_mult) - 1:
+            input_blocks.append({"down": conv2d_init(next(rngs), ch, ch, 3)})
+            input_chans.append(ch)
+            ds *= 2
+    p["input_blocks"] = input_blocks
+
+    p["middle"] = {
+        "res1": _resblock_init(next(rngs), ch, ch, ted),
+        "transformer": _spatial_transformer_init(
+            next(rngs), ch, cfg.num_heads, cfg.context_dim,
+            cfg.transformer_depth),
+        "res2": _resblock_init(next(rngs), ch, ch, ted),
+    }
+
+    output_blocks = []
+    for lvl, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            skip_ch = input_chans.pop()
+            blk = {"res": _resblock_init(next(rngs), ch + skip_ch,
+                                         mult * mc, ted)}
+            ch = mult * mc
+            if ds in cfg.attention_resolutions:
+                blk["transformer"] = _spatial_transformer_init(
+                    next(rngs), ch, cfg.num_heads, cfg.context_dim,
+                    cfg.transformer_depth)
+            if lvl != 0 and i == cfg.num_res_blocks:
+                blk["up"] = conv2d_init(next(rngs), ch, ch, 3)
+                ds //= 2
+            output_blocks.append(blk)
+    p["output_blocks"] = output_blocks
+
+    p["out"] = {"norm": norm_init(ch),
+                "conv": conv2d_init(next(rngs), ch, cfg.out_channels, 3,
+                                    zero=True)}
+    return p
+
+
+# ---------------------------------------------------------------------------
+# UNet apply
+# ---------------------------------------------------------------------------
+
+def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
+               ref_kv: Optional[Tuple] = None,
+               control: Optional[Tuple] = None,
+               attn_biases: Optional[dict] = None):
+    """Forward pass.
+
+    Args:
+      x: [B, H, W, in_channels] latents (H, W at latent resolution).
+      timesteps: [B] diffusion timesteps.
+      context: [B, L, context_dim] text conditioning.
+      ref_kv: None, or a 16-tuple (call order) of None/(k, v) pairs with
+        k, v of [Br, Nr, C] for cross-frame self-attention injection.
+      control: None, or a 13-tuple of ControlNet residuals in NHWC —
+        entries 0..11 for the encoder skips, 12 for the middle block.
+      attn_biases: optional {layer_idx: bias} additive attention biases
+        (multi-frame banded strips).
+
+    Returns:
+      (out [B, H, W, out_channels], kv_hist 16-tuple of (k, v)).
+    """
+    nh = cfg.num_heads
+    t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=x.dtype)
+    emb = linear(params["time_embed"][1],
+                 swish(linear(params["time_embed"][0], t_emb)))
+
+    def tfm(p, h, layer_idx):
+        rkv = ref_kv[layer_idx] if ref_kv is not None else None
+        bias = attn_biases.get(layer_idx) if attn_biases else None
+        h, kvs = _spatial_transformer(p, h, context, nh, rkv, bias)
+        return h, kvs
+
+    kv_hist: list = []
+    layer = 0
+    hs = []
+    h = x
+    for blk in params["input_blocks"]:
+        if "conv" in blk:
+            h = conv2d(blk["conv"], h)
+        elif "down" in blk:
+            h = conv2d(blk["down"], h, stride=2, padding=1)
+        else:
+            h = _resblock(blk["res"], h, emb)
+            if "transformer" in blk:
+                h, kvs = tfm(blk["transformer"], h, layer)
+                kv_hist.extend(kvs)
+                layer += 1
+        hs.append(h)
+
+    h = _resblock(params["middle"]["res1"], h, emb)
+    h, kvs = tfm(params["middle"]["transformer"], h, layer)
+    kv_hist.extend(kvs)
+    layer += 1
+    h = _resblock(params["middle"]["res2"], h, emb)
+
+    if control is not None:
+        h = h + control[12].astype(h.dtype)
+
+    for i, blk in enumerate(params["output_blocks"]):
+        skip = hs.pop()
+        if control is not None:
+            skip = skip + control[11 - i].astype(h.dtype)
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = _resblock(blk["res"], h, emb)
+        if "transformer" in blk:
+            h, kvs = tfm(blk["transformer"], h, layer)
+            kv_hist.extend(kvs)
+            layer += 1
+        if "up" in blk:
+            h = nearest_upsample2x(h)
+            h = conv2d(blk["up"], h)
+
+    h = swish(group_norm(params["out"]["norm"], h))
+    out = conv2d(params["out"]["conv"], h)
+    return out, tuple(kv_hist)

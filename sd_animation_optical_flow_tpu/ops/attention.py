@@ -1,0 +1,188 @@
+"""Attention math for TPU.
+
+The reference runs xformers memory-efficient attention with an optional
+fp32 island (reference: ldm/modules/attention.py:326-436, 21,176-181).
+Here the default path is XLA attention with float32 softmax; a Pallas
+flash-attention kernel (``flash_attention``) handles long-sequence
+multi-frame strips and banded biases without materializing the full
+score matrix.
+
+Shapes: q [B, Nq, H, D], k/v [B, Nk, H, D] -> out [B, Nq, H, D].
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def xla_attention(q, k, v, *, bias=None):
+    """Plain XLA attention; softmax in fp32; out dtype follows q."""
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    # [B, H, Nq, Nk]
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (forward only — this framework is inference-first;
+# training path uses xla_attention which XLA differentiates).
+# ---------------------------------------------------------------------------
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale, block_k, kv_len):
+    """Grid: (batch*heads, num_q_blocks, num_k_blocks). K-loop is the last
+    (fastest-moving) grid axis; running max/denominator live in scratch."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)            # [bq, d]
+    k = k_ref[0].astype(jnp.float32)            # [bk, d]
+    v = v_ref[0].astype(jnp.float32)            # [bk, d]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    # mask out K padding in the last block
+    k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, dimension=1)
+    s = jnp.where(k_pos < kv_len, s, -jnp.inf)
+
+    m_prev = m_ref[:]                            # [bq, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K):
+    """Online-softmax attention; O(N) memory in sequence length.
+
+    q [B, Nq, H, D], k/v [B, Nk, H, D] -> [B, Nq, H, D].
+    """
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, max(nq, 8))
+    block_k = min(block_k, max(nk, 8))
+
+    # fold heads into batch, pad seq lens to block multiples
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+
+    nq_p = pl.cdiv(nq, block_q) * block_q
+    nk_p = pl.cdiv(nk, block_k) * block_k
+    qf = _pad_to(qf, nq_p, 1)
+    kf = _pad_to(kf, nk_p, 1)
+    vf = _pad_to(vf, nk_p, 1)
+
+    grid = (b * h, nq_p // block_q, nk_p // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k,
+                          kv_len=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(qf, kf, vf)
+
+    out = out[:, :nq, :].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+    return out
+
+
+def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
+    """Dispatch: flash kernel on TPU for long unbiased sequences,
+    XLA attention otherwise (bias path and tiny shapes)."""
+    if use_flash is None:
+        on_tpu = jax.default_backend() == "tpu"
+        use_flash = (on_tpu and bias is None
+                     and q.shape[1] >= 1024 and q.shape[-1] % 64 == 0)
+    if use_flash and bias is None:
+        return flash_attention(q, k, v)
+    return xla_attention(q, k, v, bias=bias)
+
+
+# ---------------------------------------------------------------------------
+# Banded cross-frame attention bias (multi-frame strips)
+# ---------------------------------------------------------------------------
+
+def banded_strip_bias(h: int, w: int, n_frames: int, *, radius: int = 8,
+                      weight: float = 0.0, sigma: float = 1.6,
+                      base: float = -1000.0, dtype=jnp.float32):
+    """Band-diagonal bias for width-concatenated multi-frame self-attention.
+
+    Re-design of the reference's Gaussian-decay band bias that keeps a
+    strip pixel attending mostly to spatially-corresponding columns of the
+    reference half (reference: ldm/modules/attention.py:243-310), built
+    vectorized instead of with Python pixel loops. Returns
+    [h*w, n_frames*h*w]: block (y, x) of size w×w gets a diagonal band of
+    exp(-dist/sigma) weights within ``radius``, ``base`` elsewhere.
+    """
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    # block-level distance between rows (query y) and cols (key y)
+    by = ys[:, None] - ys[None, :]                       # [h, h]
+    # within-block column offsets
+    bx = xs[:, None] - xs[None, :]                       # [w, w]
+    dist = jnp.sqrt((by[:, None, :, None] ** 2 + bx[None, :, None, :] ** 2)
+                    .astype(jnp.float32))                # [h, w, h, w]
+    val = weight * jnp.exp(-dist / sigma)
+    in_band = (jnp.abs(by)[:, None, :, None] <= radius) & \
+              (jnp.abs(bx)[None, :, None, :] <= radius)
+    bias = jnp.where(in_band, val, base)
+    bias = bias.reshape(h * w, h * w)
+    bias = jnp.tile(bias, (1, n_frames))
+    return bias.astype(dtype)

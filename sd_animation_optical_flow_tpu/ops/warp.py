@@ -1,0 +1,144 @@
+"""Backward warping (flow-based remap) with cv2 parity.
+
+The reference warps AI keyframes along PDCNet flow with
+``cv2.remap(frame, X + flow, INTER_CUBIC)`` (reference: pdcnet_of.py:34-42)
+and warps latents through a pixel-resolution round trip
+(pdcnet_of.py:19-32). Here the same contract is a vectorized JAX gather:
+for every output pixel, 4x4 (cubic) or 2x2 (bilinear) taps of the source
+are gathered and combined; taps outside the image contribute the border
+constant 0, matching cv2's BORDER_CONSTANT default.
+
+Also provides the fused warp -> confidence-threshold -> mask step the
+pipeline builds from several cv2 calls (ofgen_pixel_inpaint.py:262-267).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resize import resize
+
+
+def _cubic_weights(f, a: float = -0.75):
+    """Catmull-Rom-style cubic weights (cv2's A=-0.75) for taps -1..2.
+    f: fractional part [..., 1]. Returns 4 weights broadcastable to f."""
+    w0 = ((a * (f + 1) - 5 * a) * (f + 1) + 8 * a) * (f + 1) - 4 * a
+    w1 = ((a + 2) * f - (a + 3)) * f * f + 1
+    g = 1 - f
+    w2 = ((a + 2) * g - (a + 3)) * g * g + 1
+    w3 = 1.0 - w0 - w1 - w2
+    return w0, w1, w2, w3
+
+
+def _gather_2d(img, iy, ix):
+    """img [H, W, C]; iy/ix [h, w] int32 (assumed in range)."""
+    return img[iy, ix]
+
+
+def remap(img, map_x, map_y, *, mode: str = "cubic"):
+    """dst(y, x) = src(map_y[y,x], map_x[y,x]) with zero border.
+
+    img: [H, W, C] or [H, W]; maps: [h, w] float32 absolute source coords.
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    H, W = img.shape[:2]
+    cdt = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+    imgf = img.astype(cdt)
+
+    x0 = jnp.floor(map_x)
+    y0 = jnp.floor(map_y)
+    fx = (map_x - x0).astype(cdt)[..., None]
+    fy = (map_y - y0).astype(cdt)[..., None]
+    ix = x0.astype(jnp.int32)
+    iy = y0.astype(jnp.int32)
+
+    if mode == "cubic":
+        wx = _cubic_weights(fx)
+        wy = _cubic_weights(fy)
+        offs = range(-1, 3)
+    elif mode == "linear":
+        wx = (1 - fx, fx)
+        wy = (1 - fy, fy)
+        offs = range(0, 2)
+    elif mode == "nearest":
+        ix = jnp.round(map_x).astype(jnp.int32)
+        iy = jnp.round(map_y).astype(jnp.int32)
+        valid = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))[..., None]
+        out = _gather_2d(imgf, jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1))
+        out = jnp.where(valid, out, 0)
+        return out[..., 0] if squeeze else out.astype(img.dtype)
+    else:
+        raise ValueError(mode)
+
+    acc = jnp.zeros(map_x.shape + (img.shape[-1],), cdt)
+    for oy, wyo in zip(offs, wy):
+        ty = iy + oy
+        vy = (ty >= 0) & (ty < H)
+        tyc = jnp.clip(ty, 0, H - 1)
+        for ox, wxo in zip(offs, wx):
+            tx = ix + ox
+            v = (vy & (tx >= 0) & (tx < W))[..., None]
+            txc = jnp.clip(tx, 0, W - 1)
+            tap = _gather_2d(imgf, tyc, txc)
+            acc = acc + jnp.where(v, tap, 0) * (wyo * wxo)
+    out = acc[..., 0] if squeeze else acc
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        out = jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)
+    return out
+
+
+def _coord_grids(h, w):
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    return jnp.broadcast_to(ys, (h, w)), jnp.broadcast_to(xs, (h, w))
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def warp_frame(frame, flow, *, mode: str = "cubic"):
+    """Backward-warp ``frame`` by ``flow`` (pdcnet_of.py:34-42 contract).
+
+    flow [H, W, 2] maps target pixel (x, y) to source (x + fx, y + fy).
+    """
+    h, w = flow.shape[:2]
+    gy, gx = _coord_grids(h, w)
+    return remap(frame, gx + flow[..., 0], gy + flow[..., 1], mode=mode)
+
+
+def warp_frame_latent(latent, flow, *, mode: str = "cubic"):
+    """Latent warp via pixel-resolution round trip (pdcnet_of.py:19-32):
+    resize latent [h, w, C] to flow resolution (cubic), warp, resize back."""
+    lh, lw = latent.shape[0], latent.shape[1]
+    h, w = flow.shape[:2]
+    up = resize(latent, (h, w), "cubic")
+    warped = warp_frame(up, flow, mode=mode)
+    return resize(warped, (lh, lw), "cubic")
+
+
+@jax.jit
+def warp_mask_fused(reference_ai_frame, flow, confidence,
+                    *, conf_thres: float = 0.95):
+    """Fused per-frame step: warp the AI keyframe along flow AND build the
+    low-confidence inpaint mask in one device call (replaces the
+    cv2.remap + threshold host sequence, ofgen_pixel_inpaint.py:335-339 +
+    262-264). Dilation is applied separately (ops.filters.dilate).
+
+    Returns (warped_frame, mask01 float32 [H, W]) where mask==1 marks
+    pixels to inpaint (confidence < threshold).
+    """
+    warped = warp_frame(reference_ai_frame, flow)
+    mask = (confidence < conf_thres).astype(jnp.float32)
+    return warped, mask
+
+
+def flow_travel_distance(flow, confidence, *, conf_gate: float = 0.9):
+    """Confidence-gated displacement magnitude (of_calc,
+    ofgen_pixel_inpaint.py:105-118): |flow| with low-confidence pixels
+    zeroed."""
+    v = jnp.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+    return jnp.where(confidence < conf_gate, 0.0, v)

@@ -1,0 +1,65 @@
+"""Attention: XLA path vs torch SDPA, flash kernel (interpret) vs XLA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from sd_animation_optical_flow_tpu.ops import attention as A
+
+
+def _rand_qkv(np_rng, b=2, nq=17, nk=23, h=4, d=8):
+    q = np_rng.standard_normal((b, nq, h, d), dtype=np.float32)
+    k = np_rng.standard_normal((b, nk, h, d), dtype=np.float32)
+    v = np_rng.standard_normal((b, nk, h, d), dtype=np.float32)
+    return q, k, v
+
+
+def test_xla_attention_matches_torch(np_rng):
+    q, k, v = _rand_qkv(np_rng)
+    out = A.xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    qt, kt, vt = (torch.from_numpy(a).permute(0, 2, 1, 3) for a in (q, k, v))
+    ref = F.scaled_dot_product_attention(qt, kt, vt).permute(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_xla_attention_bias(np_rng):
+    q, k, v = _rand_qkv(np_rng, b=1, nq=5, nk=5, h=2, d=4)
+    bias = np.triu(np.full((5, 5), -1e9, np.float32), k=1)[None, None]
+    out = A.xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          bias=jnp.asarray(bias))
+    qt, kt, vt = (torch.from_numpy(a).permute(0, 2, 1, 3) for a in (q, k, v))
+    ref = F.scaled_dot_product_attention(qt, kt, vt, is_causal=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.permute(0, 2, 1, 3).numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_matches_xla(np_rng):
+    # interpret mode on CPU exercises the same kernel logic
+    q, k, v = _rand_qkv(np_rng, b=1, nq=300, nk=260, h=2, d=64)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    ref = A.xla_attention(qj, kj, vj)
+    import functools
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        out = A.flash_attention(qj, kj, vj, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_banded_strip_bias_shape_and_band():
+    h, w, n = 6, 4, 3
+    bias = A.banded_strip_bias(h, w, n, radius=1, weight=1.0, sigma=1.0)
+    assert bias.shape == (h * w, n * h * w)
+    b = np.asarray(bias)
+    # diagonal blocks carry weight exp(0)=1 on their diagonals
+    np.testing.assert_allclose(np.diag(b[:w, :w]), 1.0, atol=1e-5)
+    # far off-band entries are the -1000 base
+    assert b[0, (3 * w) + 3] == -1000.0
+    # tiled identically for every frame in the strip
+    np.testing.assert_allclose(b[:, : h * w], b[:, h * w: 2 * h * w])

@@ -1,0 +1,147 @@
+"""Schedule + DDIM sampler math tests (closed-form and parity checks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sd_animation_optical_flow_tpu.diffusion import ddim as D
+from sd_animation_optical_flow_tpu.diffusion import schedule as S
+
+
+def test_linear_schedule_values():
+    sched = S.make_linear_schedule(1000, 0.00085, 0.0120)
+    betas = np.asarray(sched.betas)
+    assert betas.shape == (1000,)
+    np.testing.assert_allclose(betas[0], 0.00085, rtol=1e-5)
+    np.testing.assert_allclose(betas[-1], 0.0120, rtol=1e-5)
+    ac = np.asarray(sched.alphas_cumprod)
+    assert np.all(np.diff(ac) < 0) and 0 < ac[-1] < ac[0] < 1
+
+
+def test_ddim_uniform_timesteps():
+    sched = S.make_linear_schedule()
+    ddim = S.make_ddim_params(sched, 50)
+    ts = np.asarray(ddim.timesteps)
+    # reference: arange(0, 1000, 20) + 1  (util.py:46-58)
+    np.testing.assert_array_equal(ts, np.arange(0, 1000, 20) + 1)
+    np.testing.assert_allclose(np.asarray(ddim.alphas),
+                               np.asarray(sched.alphas_cumprod)[ts])
+    np.testing.assert_allclose(np.asarray(ddim.alphas_prev)[0],
+                               np.asarray(sched.alphas_cumprod)[0])
+    assert np.all(np.asarray(ddim.sigmas) == 0)  # eta = 0
+
+
+def test_q_sample_consistency(rng):
+    sched = S.make_linear_schedule()
+    x0 = jax.random.normal(rng, (2, 4, 4, 4))
+    noise = jnp.ones_like(x0)
+    t = jnp.asarray([0, 999])
+    xt = S.q_sample(sched, x0, t, noise)
+    a = np.asarray(sched.sqrt_alphas_cumprod)
+    s = np.asarray(sched.sqrt_one_minus_alphas_cumprod)
+    ref0 = a[0] * np.asarray(x0[0]) + s[0]
+    np.testing.assert_allclose(np.asarray(xt[0]), ref0, rtol=1e-5)
+
+
+def test_v_param_roundtrip(rng):
+    sched = S.make_linear_schedule()
+    k1, k2 = jax.random.split(rng)
+    x0 = jax.random.normal(k1, (1, 4, 4, 4))
+    noise = jax.random.normal(k2, (1, 4, 4, 4))
+    t = jnp.asarray([500])
+    xt = S.q_sample(sched, x0, t, noise)
+    v = S.get_v(sched, x0, t, noise)
+    eps = S.predict_eps_from_z_and_v(sched, xt, t, v)
+    x0_rec = S.predict_start_from_z_and_v(sched, xt, t, v)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(noise),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x0_rec), np.asarray(x0),
+                               rtol=1e-4, atol=1e-5)
+
+
+def _oracle_model(x0):
+    """A model that knows the true x0 and returns exact eps for any x_t.
+
+    With eps-param DDIM (eta=0), decoding from stochastic_encode(x0, t_enc)
+    must then recover x0 exactly — a closed-form check of the whole
+    scanned sampler."""
+    sched = S.make_linear_schedule()
+
+    def model_fn(x, t, ctx):
+        a = sched.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        s = sched.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        x0b = jnp.concatenate([x0, x0], axis=0) if x.shape[0] != x0.shape[0] else x0
+        return (x - a * x0b) / s
+
+    return sched, model_fn
+
+
+def test_ddim_decode_recovers_x0_with_oracle(rng):
+    x0 = jax.random.normal(rng, (1, 8, 8, 4))
+    sched, model_fn = _oracle_model(x0)
+    ddim = S.make_ddim_params(sched, 50)
+    t_enc = 20
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    x_t = D.stochastic_encode(ddim, x0, t_enc, noise)
+    cond = D.CondBundle(crossattn=jnp.zeros((1, 3, 8)))
+    uncond = D.CondBundle(crossattn=jnp.zeros((1, 3, 8)))
+
+    # NOTE: reference's stochastic_encode indexes alphas at t_enc while the
+    # first decode step uses index t_enc-1 (one step less noisy). The
+    # oracle still recovers x0 because eps is recomputed per-step from x_t.
+    out = D.ddim_decode(model_fn, sched, ddim, x_t, cond, uncond, t_enc,
+                        cfg_scale=7.0, rng=rng)
+    # DDIM's last step lands at alphas_cumprod[0] ~= 0.99915 (not exactly 1),
+    # so a sqrt(1 - 0.99915) ~= 2.9% eps residual remains by construction.
+    err = np.abs(np.asarray(out) - np.asarray(x0))
+    assert err.max() < 0.15 and err.mean() < 0.03
+    # and decoding reduced the distance vs the noised input massively
+    assert err.mean() < 0.05 * np.abs(np.asarray(x_t - x0)).mean()
+
+
+def test_ddim_decode_inpaint_keeps_known_region(rng):
+    x0 = jax.random.normal(rng, (1, 8, 8, 4))
+    sched, model_fn = _oracle_model(x0)
+    ddim = S.make_ddim_params(sched, 50)
+    t_enc = 10
+    init_latent = x0 * 0.5
+    nmask = jnp.zeros((1, 8, 8, 1)).at[:, :4].set(1.0)  # top half inpainted
+    noise = jax.random.normal(jax.random.fold_in(rng, 2), x0.shape)
+    x_t = D.stochastic_encode(ddim, init_latent, t_enc, noise)
+    cond = D.CondBundle(crossattn=jnp.zeros((1, 3, 8)))
+    out = D.ddim_decode(model_fn, sched, ddim, x_t, cond, cond, t_enc,
+                        rng=rng, init_latent=init_latent, nmask=nmask)
+    # composite like the facade does (guided_ldm_inpainting.py:337-338)
+    final = init_latent * (1 - nmask) + out * nmask
+    np.testing.assert_allclose(np.asarray(final[:, 4:]),
+                               np.asarray(init_latent[:, 4:]), atol=1e-6)
+    # inpainted half was driven toward the oracle's x0
+    assert np.abs(np.asarray(final[:, :4] - x0[:, :4])).mean() < \
+        np.abs(np.asarray(init_latent[:, :4] - x0[:, :4])).mean()
+
+
+def test_guidance_blending_pulls_to_target(rng):
+    x0 = jax.random.normal(rng, (1, 8, 8, 4))
+    sched, model_fn = _oracle_model(x0)
+    ddim = S.make_ddim_params(sched, 50)
+    t_enc = 20
+    target = -x0
+    noise = jax.random.normal(jax.random.fold_in(rng, 3), x0.shape)
+    x_t = D.stochastic_encode(ddim, x0, t_enc, noise)
+    cond = D.CondBundle(crossattn=jnp.zeros((1, 3, 8)))
+    gs = jnp.ones((t_enc, 1, 1, 1, 1))  # full-strength guidance every step
+    out = D.ddim_decode(model_fn, sched, ddim, x_t, cond, cond, t_enc,
+                        rng=rng, guidance_latent=target,
+                        guidance_strength=gs)
+    # with strength 1.0 each step pred_x0 == target, so decode lands on
+    # target (up to the ~3% alphas_cumprod[0] residual)
+    err = np.abs(np.asarray(out) - np.asarray(target))
+    assert err.mean() < 0.2
+    assert err.mean() < np.abs(np.asarray(out) - np.asarray(x0)).mean()
+
+
+def test_guidance_progress_matches_reference_formula():
+    p = D.guidance_progress(20, 50)
+    assert p.shape == (20,)
+    np.testing.assert_allclose(p[0], (0 + 30 + 1) / 50)
+    np.testing.assert_allclose(p[-1], 1.0)
