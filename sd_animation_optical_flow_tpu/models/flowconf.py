@@ -1,0 +1,118 @@
+"""Dense flow + per-pixel confidence — the PDCNet+ replacement.
+
+The reference wraps the external DenseMatching PDCNet+ network
+(reference: pdcnet_of.py:45-75): ``calc(frame1, frame2)`` returns a flow
+field in the *target* (frame2) coordinate frame pointing at source
+(frame1) pixels, plus a confidence map = softmax(weight_map)[0] in (0,1)
+thresholded downstream at 0.5/0.9/0.95 (ofgen_pixel_inpaint.py:221,262;
+ofgen_keyframe_inpaint.py:737).
+
+This in-repo head estimates flow with RAFT (both directions batched into
+one forward) and derives confidence from forward-backward consistency +
+out-of-bounds masking, calibrated so ~0.95 corresponds to ~1/3 px
+round-trip error — preserving the reference's mask-threshold behavior
+without the external dependency. The batched ``calc_batch`` API is the
+one the keyframe pipeline requires (ofgen_keyframe_inpaint.py:594).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.warp import remap
+from .raft import RAFTConfig, coords_grid, pad_to_multiple, raft_apply
+
+
+@dataclass(frozen=True)
+class FlowConfidenceConfig:
+    raft: RAFTConfig = RAFTConfig()
+    # conf = exp(-e_fb^2 / (2 sigma^2)); sigma=1.03 => conf(1/3 px)~0.95
+    fb_sigma: float = 1.03
+    # relative slack term (classic fb-consistency): tolerated error grows
+    # with flow magnitude
+    fb_alpha: float = 0.01
+
+
+def _warp_field(field, flow):
+    """Sample ``field`` [H, W, C] at x + flow (bilinear, border clamp)."""
+    h, w = flow.shape[:2]
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None] + flow[..., 1]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :] + flow[..., 0]
+    return remap(field, gx, gy, mode="linear")
+
+
+def fb_confidence(flow_fwd, flow_bwd, *, sigma: float, alpha: float):
+    """Forward-backward consistency confidence.
+
+    flow_fwd [H,W,2]: target->source; flow_bwd [H,W,2]: source->target.
+    Round-trip error e(x) = |flow_fwd(x) + flow_bwd(x + flow_fwd(x))|.
+    Returns (confidence, log_confidence) in (0, 1] / (-inf, 0].
+    """
+    bwd_at = _warp_field(flow_bwd, flow_fwd)
+    rt = flow_fwd + bwd_at
+    err2 = rt[..., 0] ** 2 + rt[..., 1] ** 2
+    mag2 = (flow_fwd ** 2).sum(-1) + (bwd_at ** 2).sum(-1)
+    # normalized squared error with magnitude-proportional slack
+    norm = 2.0 * sigma ** 2 + alpha * mag2
+    log_conf = -err2 / norm
+
+    # pixels whose source lands outside the image can't be verified
+    h, w = flow_fwd.shape[:2]
+    sx = jnp.arange(w, dtype=jnp.float32)[None, :] + flow_fwd[..., 0]
+    sy = jnp.arange(h, dtype=jnp.float32)[:, None] + flow_fwd[..., 1]
+    inb = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    log_conf = jnp.where(inb, log_conf, -1e4)
+    return jnp.exp(log_conf), log_conf
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iters"))
+def _flow_conf_batch(params, cfg: FlowConfidenceConfig, src, tgt,
+                     iters: int | None = None):
+    """src/tgt [B, H, W, 3] RGB float 0-255 (H, W multiples of 8).
+
+    Returns (flow [B,H,W,2] target-frame, conf [B,H,W], log_conf)."""
+    b = src.shape[0]
+    # one RAFT batch of 2B: [tgt->src | src->tgt]
+    img1 = jnp.concatenate([tgt, src], axis=0)
+    img2 = jnp.concatenate([src, tgt], axis=0)
+    _, flow_up = raft_apply(params, cfg.raft, img1, img2, iters=iters)
+    flow_fwd, flow_bwd = flow_up[:b], flow_up[b:]
+    conf, log_conf = jax.vmap(
+        lambda f, bwd: fb_confidence(f, bwd, sigma=cfg.fb_sigma,
+                                     alpha=cfg.fb_alpha))(flow_fwd, flow_bwd)
+    return flow_fwd, conf, log_conf
+
+
+class FlowConfidenceEstimator:
+    """Drop-in ``calc`` / ``calc_batch`` provider (pdcnet_of.py API)."""
+
+    def __init__(self, params, cfg: FlowConfidenceConfig = FlowConfidenceConfig()):
+        self.params = params
+        self.cfg = cfg
+
+    def calc(self, frame_src, frame_tgt):
+        """frame_* [H, W, 3] RGB uint8/float arrays.
+
+        Returns numpy (flow [H,W,2], confidence [H,W], log_confidence) —
+        flow in target coords pointing at source pixels (pdcnet_of.py:66-75).
+        """
+        flow, conf, log_conf = self.calc_batch(frame_src[None],
+                                               frame_tgt[None])
+        return flow[0], conf[0], log_conf[0]
+
+    def calc_batch(self, src, tgt):
+        """src/tgt [B, H, W, 3] -> numpy (flow [B,H,W,2], conf, log_conf).
+        The batched API PDCNetAux depends on (ofgen_keyframe_inpaint.py:594)."""
+        src = jnp.asarray(src, jnp.float32)
+        tgt = jnp.asarray(tgt, jnp.float32)
+        src_p, (h, w) = pad_to_multiple(src, 8)
+        tgt_p, _ = pad_to_multiple(tgt, 8)
+        flow, conf, log_conf = _flow_conf_batch(self.params, self.cfg,
+                                                src_p, tgt_p)
+        return (np.asarray(flow[:, :h, :w]), np.asarray(conf[:, :h, :w]),
+                np.asarray(log_conf[:, :h, :w]))

@@ -1,0 +1,288 @@
+"""RAFT optical flow — functional JAX/NHWC rebuild, scan-based iterations.
+
+Capability parity with the vendored RAFT (reference: RAFT/core/raft.py,
+extractor.py, update.py, corr.py): instance-norm feature encoder and
+batch-norm context encoder (stride 8), 4-level all-pairs correlation
+pyramid with (2r+1)^2 windowed lookup, SepConvGRU iterative updates, and
+convex 8x flow upsampling via a softmaxed 9-way mask.
+
+TPU-first: the update iterations run as one `lax.scan` over shared
+weights (the reference Python-loops 20 torch iterations,
+raft.py:122-139); the correlation volume is a single MXU matmul.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.correlation import (CorrPyramid, alt_correlation_xla,
+                               all_pairs_correlation, build_pyramid,
+                               fmap_pyramid, lookup_pyramid)
+from .layers import conv2d, conv2d_init, instance_norm
+
+
+@dataclass(frozen=True)
+class RAFTConfig:
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+    iters: int = 20
+    fnet_dim: int = 256
+    alternate_corr: bool = False   # on-the-fly windowed corr (alt path)
+
+    @property
+    def corr_planes(self) -> int:
+        return self.corr_levels * (2 * self.corr_radius + 1) ** 2
+
+
+# ---------------------------------------------------------------------------
+# norms
+# ---------------------------------------------------------------------------
+
+def _bn_init(ch):
+    # inference-mode batch norm: running stats ported from the checkpoint
+    return {"scale": jnp.ones((ch,), jnp.float32),
+            "bias": jnp.zeros((ch,), jnp.float32),
+            "mean": jnp.zeros((ch,), jnp.float32),
+            "var": jnp.ones((ch,), jnp.float32)}
+
+
+def _apply_norm(p, x, kind):
+    if kind == "instance":
+        # torch InstanceNorm2d(affine=False)
+        return instance_norm(None, x)
+    if kind == "batch":
+        inv = jax.lax.rsqrt(p["var"] + 1e-5)
+        return ((x - p["mean"]) * inv * p["scale"] + p["bias"]).astype(x.dtype)
+    if kind == "none":
+        return x
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# encoders (BasicEncoder, extractor.py:118-192)
+# ---------------------------------------------------------------------------
+
+def _res_unit_init(rng, in_ch, out_ch, norm, stride):
+    k = jax.random.split(rng, 3)
+    p = {"conv1": conv2d_init(k[0], in_ch, out_ch, 3),
+         "conv2": conv2d_init(k[1], out_ch, out_ch, 3)}
+    if norm == "batch":
+        p["norm1"] = _bn_init(out_ch)
+        p["norm2"] = _bn_init(out_ch)
+    if stride != 1:
+        p["down"] = conv2d_init(k[2], in_ch, out_ch, 1)
+        if norm == "batch":
+            p["norm3"] = _bn_init(out_ch)
+    return p
+
+
+def _res_unit(p, x, norm, stride):
+    y = jax.nn.relu(_apply_norm(p.get("norm1"), conv2d(p["conv1"], x,
+                                                       stride=stride), norm))
+    y = jax.nn.relu(_apply_norm(p.get("norm2"), conv2d(p["conv2"], y), norm))
+    if "down" in p:
+        x = _apply_norm(p.get("norm3"), conv2d(p["down"], x, stride=stride),
+                        norm)
+    return jax.nn.relu(x + y)
+
+
+def encoder_init(rng, out_dim: int, norm: str):
+    rngs = iter(jax.random.split(rng, 16))
+    p = {"conv1": conv2d_init(next(rngs), 3, 64, 7)}
+    if norm == "batch":
+        p["norm1"] = _bn_init(64)
+    layers = []
+    in_ch = 64
+    for dim, stride in ((64, 1), (96, 2), (128, 2)):
+        layers.append([_res_unit_init(next(rngs), in_ch, dim, norm, stride),
+                       _res_unit_init(next(rngs), dim, dim, norm, 1)])
+        in_ch = dim
+    p["layers"] = layers
+    p["conv2"] = conv2d_init(next(rngs), 128, out_dim, 1)
+    return p
+
+
+def encoder_apply(p, x, norm: str):
+    h = conv2d(p["conv1"], x, stride=2, padding=3)
+    h = jax.nn.relu(_apply_norm(p.get("norm1"), h, norm))
+    for (u1, u2), stride in zip(p["layers"], (1, 2, 2)):
+        h = _res_unit(u1, h, norm, stride)
+        h = _res_unit(u2, h, norm, 1)
+    return conv2d(p["conv2"], h)
+
+
+# ---------------------------------------------------------------------------
+# update block (update.py:79-139)
+# ---------------------------------------------------------------------------
+
+def motion_encoder_init(rng, corr_planes):
+    k = jax.random.split(rng, 5)
+    return {"convc1": conv2d_init(k[0], corr_planes, 256, 1),
+            "convc2": conv2d_init(k[1], 256, 192, 3),
+            "convf1": conv2d_init(k[2], 2, 128, 7),
+            "convf2": conv2d_init(k[3], 128, 64, 3),
+            "conv": conv2d_init(k[4], 192 + 64, 128 - 2, 3)}
+
+
+def motion_encoder(p, flow, corr):
+    cor = jax.nn.relu(conv2d(p["convc1"], corr))
+    cor = jax.nn.relu(conv2d(p["convc2"], cor))
+    flo = jax.nn.relu(conv2d(p["convf1"], flow, padding=3))
+    flo = jax.nn.relu(conv2d(p["convf2"], flo))
+    out = jax.nn.relu(conv2d(p["conv"], jnp.concatenate([cor, flo], -1)))
+    return jnp.concatenate([out, flow], -1)
+
+
+def sep_conv_gru_init(rng, hidden, inp):
+    k = jax.random.split(rng, 6)
+    hi = hidden + inp
+    return {name: conv2d_init(k[i], hi, hidden, ks)
+            for i, (name, ks) in enumerate(
+                [("convz1", (1, 5)), ("convr1", (1, 5)), ("convq1", (1, 5)),
+                 ("convz2", (5, 1)), ("convr2", (5, 1)), ("convq2", (5, 1))])}
+
+
+def sep_conv_gru(p, h, x):
+    for suffix in ("1", "2"):           # horizontal pass, then vertical
+        hx = jnp.concatenate([h, x], -1)
+        z = jax.nn.sigmoid(conv2d(p["convz" + suffix], hx))
+        r = jax.nn.sigmoid(conv2d(p["convr" + suffix], hx))
+        q = jnp.tanh(conv2d(p["convq" + suffix],
+                            jnp.concatenate([r * h, x], -1)))
+        h = (1 - z) * h + z * q
+    return h
+
+
+def update_block_init(rng, cfg: RAFTConfig):
+    k = jax.random.split(rng, 6)
+    return {
+        "encoder": motion_encoder_init(k[0], cfg.corr_planes),
+        "gru": sep_conv_gru_init(k[1], cfg.hidden_dim,
+                                 128 + cfg.context_dim),
+        "flow_head": {"conv1": conv2d_init(k[2], cfg.hidden_dim, 256, 3),
+                      "conv2": conv2d_init(k[3], 256, 2, 3)},
+        "mask": {"conv1": conv2d_init(k[4], 128, 256, 3),
+                 "conv2": conv2d_init(k[5], 256, 64 * 9, 1)},
+    }
+
+
+def update_block(p, net, inp, corr, flow):
+    motion = motion_encoder(p["encoder"], flow, corr)
+    net = sep_conv_gru(p["gru"], net, jnp.concatenate([inp, motion], -1))
+    delta = conv2d(p["flow_head"]["conv2"],
+                   jax.nn.relu(conv2d(p["flow_head"]["conv1"], net)))
+    mask = 0.25 * conv2d(p["mask"]["conv2"],
+                         jax.nn.relu(conv2d(p["mask"]["conv1"], net)))
+    return net, mask, delta
+
+
+# ---------------------------------------------------------------------------
+# convex upsampling (raft.py:72-83)
+# ---------------------------------------------------------------------------
+
+def upsample_flow_convex(flow, mask):
+    """flow [N,H,W,2] (1/8 res), mask [N,H,W,576] -> [N,8H,8W,2]."""
+    n, h, w, _ = flow.shape
+    # 3x3 neighborhood of 8*flow, zero padded, row-major (dy, dx)
+    fp = jnp.pad(8.0 * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    nbrs = jnp.stack([fp[:, dy:dy + h, dx:dx + w, :]
+                      for dy in range(3) for dx in range(3)], axis=3)
+    # mask channels viewed as (9, 8, 8) (raft.py:75)
+    m = mask.reshape(n, h, w, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
+    up = jnp.einsum("nhwkij,nhwkc->nhwijc", m, nbrs,
+                    preferred_element_type=jnp.float32).astype(flow.dtype)
+    up = up.transpose(0, 1, 3, 2, 4, 5)            # [N,H,8,W,8,2]
+    return up.reshape(n, 8 * h, 8 * w, 2)
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+def raft_init(rng, cfg: RAFTConfig = RAFTConfig()):
+    k = jax.random.split(rng, 3)
+    return {
+        "fnet": encoder_init(k[0], cfg.fnet_dim, "instance"),
+        "cnet": encoder_init(k[1], cfg.hidden_dim + cfg.context_dim, "batch"),
+        "update": update_block_init(k[2], cfg),
+    }
+
+
+def coords_grid(n, h, w):
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    g = jnp.stack([gx, gy], axis=-1)               # (x, y) order
+    return jnp.broadcast_to(g[None], (n, h, w, 2))
+
+
+def raft_apply(params, cfg: RAFTConfig, image1, image2, *,
+               iters: int | None = None, flow_init=None):
+    """image1/image2 [N, H, W, 3] RGB in [0, 255] (H, W multiples of 8).
+
+    Returns (flow_low [N,H/8,W/8,2], flow_up [N,H,W,2]) — the reference's
+    test_mode contract (raft.py:141-142).
+    """
+    iters = iters or cfg.iters
+    img1 = 2.0 * (image1 / 255.0) - 1.0
+    img2 = 2.0 * (image2 / 255.0) - 1.0
+
+    # shared-batch encoder trick (extractor.py:171-174)
+    fmaps = encoder_apply(params["fnet"],
+                          jnp.concatenate([img1, img2], 0), "instance")
+    fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+    fmap1 = fmap1.astype(jnp.float32)
+    fmap2 = fmap2.astype(jnp.float32)
+
+    if cfg.alternate_corr:
+        f2_pyr = fmap_pyramid(fmap2, cfg.corr_levels)
+        corr_fn = lambda coords: alt_correlation_xla(
+            fmap1, f2_pyr, coords, cfg.corr_radius)
+    else:
+        pyramid = build_pyramid(all_pairs_correlation(fmap1, fmap2),
+                                cfg.corr_levels)
+        corr_fn = lambda coords: lookup_pyramid(pyramid, coords,
+                                                cfg.corr_radius)
+
+    cnet = encoder_apply(params["cnet"], img1, "batch")
+    net, inp = jnp.split(cnet, [cfg.hidden_dim], axis=-1)
+    net = jnp.tanh(net)
+    inp = jax.nn.relu(inp)
+
+    n, h8, w8 = fmap1.shape[0], fmap1.shape[1], fmap1.shape[2]
+    coords0 = coords_grid(n, h8, w8)
+    coords1 = coords0 if flow_init is None else coords0 + flow_init
+
+    def step(carry, _):
+        net, coords1 = carry
+        coords1 = jax.lax.stop_gradient(coords1)
+        corr = corr_fn(coords1)
+        flow = coords1 - coords0
+        net2, up_mask, delta = update_block(params["update"], net, inp,
+                                            corr, flow)
+        return (net2, coords1 + delta), up_mask
+
+    (net, coords1), up_masks = jax.lax.scan(step, (net, coords1), None,
+                                            length=iters)
+    flow_low = coords1 - coords0
+    flow_up = upsample_flow_convex(flow_low, up_masks[-1])
+    return flow_low, flow_up
+
+
+def pad_to_multiple(img, multiple: int = 8):
+    """Replicate-pad H and W up to a multiple (InputPadder, utils.py:7-24
+    'sintel' mode pads symmetrically; here: bottom/right, simpler crop).
+    Returns (padded, (orig_h, orig_w))."""
+    h, w = img.shape[-3], img.shape[-2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    cfg = [(0, 0)] * img.ndim
+    cfg[-3] = (0, ph)
+    cfg[-2] = (0, pw)
+    return jnp.pad(img, cfg, mode="edge"), (h, w)

@@ -12,6 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# NOTE: this environment force-registers an 'axon' TPU platform that wins
+# over the JAX_PLATFORMS env var; the config update below is the override
+# that actually sticks.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
 
