@@ -15,9 +15,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DiffusionSchedule:
     betas: jnp.ndarray                    # [T]
@@ -74,6 +76,7 @@ def get_v(sched: DiffusionSchedule, x0, t, noise):
     return a * noise - s * x0
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DDIMParams:
     timesteps: jnp.ndarray      # [S] int32 ddpm timesteps (shifted by +1)
@@ -112,4 +115,25 @@ def make_ddim_params(sched: DiffusionSchedule, num_steps: int,
         alphas_prev=f32(alphas_prev),
         sqrt_one_minus_alphas=f32(np.sqrt(1.0 - alphas)),
         sigmas=f32(sigmas),
+    )
+
+
+def make_ddim_params_traced(sched: DiffusionSchedule, num_steps: int,
+                            eta: float = 0.0) -> DDIMParams:
+    """Trace-safe uniform DDIM params (usable inside jit where ``sched``
+    arrays are traced): pure gathers over schedule arrays."""
+    T = sched.num_timesteps
+    c = T // num_steps
+    ts = jnp.arange(0, T, c, dtype=jnp.int32)[:num_steps] + 1
+    ac = sched.alphas_cumprod
+    alphas = ac[ts]
+    alphas_prev = jnp.concatenate([ac[0:1], ac[ts[:-1]]])
+    sigmas = eta * jnp.sqrt((1 - alphas_prev) / (1 - alphas)
+                            * (1 - alphas / alphas_prev))
+    return DDIMParams(
+        timesteps=ts,
+        alphas=alphas.astype(jnp.float32),
+        alphas_prev=alphas_prev.astype(jnp.float32),
+        sqrt_one_minus_alphas=jnp.sqrt(1.0 - alphas).astype(jnp.float32),
+        sigmas=sigmas.astype(jnp.float32),
     )

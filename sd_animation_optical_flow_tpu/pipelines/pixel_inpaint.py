@@ -1,0 +1,184 @@
+"""The main pipeline: keyframe img2img + flow-warp + confidence-masked
+inpainting (the reference's README-documented entry point,
+reference: ofgen_pixel_inpaint.py:315-390).
+
+Per frame:
+  * keyframe  -> plain img2img at denoising strength 0.4; becomes the
+    reference frame/AI frame pair.
+  * non-key   -> flow+confidence keyframe->frame, warp the AI keyframe
+    (device, fused), mask = dilate(confidence < 0.95) (ellipse 7), then
+    seeded inpainting with the current raw frame as reference
+    (ofgen_pixel_inpaint.py:334-349), optional propagated-pixel mix.
+
+Outputs keep the reference contract: ``converted_%06d.png``,
+``vis_%06d.png`` 6-panel strips, ``pixel_confidence_%06d.png``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.flowconf import FlowConfidenceEstimator
+from ..ops.filters import dilate, ellipse_kernel
+from ..ops.warp import warp_frame
+from ..utils.images import bgr_u8_to_model, model_to_bgr_u8, write_png
+from . import facades as F
+from .keyframes import FrameGenConfig, frame_generator
+from .tagger import NEGATIVE_PROMPT, Tagger
+
+
+@dataclass
+class PixelInpaintConfig:
+    name: str = "tpu"
+    size: Tuple[int, int] = (512, 768)      # (width, height)
+    keep_every: int = 3
+    key_frame_thres: float = 24.0
+    denoising_strength: float = 0.4
+    confidence_thres: float = 0.95
+    propagated_pixel_weight: float = 0.0
+    mask_dilate: int = 7
+    mask_blur: int = 16
+    ddim_steps: int = 50
+    seed: int = 1234
+    prompt_extra: str = ""
+    write_vis: bool = True
+    guidance_schedule_func: Callable[[float], float] = lambda p: 1.0
+
+
+def generate_mask(cum_confidence: np.ndarray, log_confidence: np.ndarray,
+                  thres: float = 0.8, dilate_size: int = 7):
+    """Low-confidence inpaint mask (ofgen_pixel_inpaint.py:262-267):
+    mask=255 where confidence < thres, reset log-confidence there,
+    dilate with an ellipse. Returns (mask_u8, log_confidence)."""
+    mask = (cum_confidence < thres).astype(np.float32)
+    log_confidence = np.where(cum_confidence < thres, 0.0, log_confidence)
+    mask = np.asarray(dilate(jnp.asarray(mask), ellipse_kernel(dilate_size)))
+    return (mask * 255).astype(np.uint8), log_confidence
+
+
+def mix_propagated_ai_frame(raw_ai_frame: np.ndarray,
+                            warped_ai_frame: np.ndarray,
+                            mask_u8: np.ndarray,
+                            weight: float = 1.0) -> np.ndarray:
+    """Blend freshly-inpainted and propagated pixels
+    (ofgen_pixel_inpaint.py:251-260)."""
+    if weight < 0.001:
+        return raw_ai_frame
+    w = np.where(mask_u8 <= 127, weight, 1.0 - weight)[..., None]
+    out = raw_ai_frame.astype(np.float32) * (1 - w) + \
+        warped_ai_frame.astype(np.float32) * w
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _prompt_for(tagger: Optional[Tagger], frame_bgr, extra: str) -> str:
+    if tagger is not None and tagger.available:
+        return tagger.build_prompt(frame_bgr, extra)
+    base = "masterpiece,best quality,"
+    return base + extra if extra else base[:-1]
+
+
+def run_inpainting(sd_inpaint: F.StableDiffusionBundle,
+                   tagger: Optional[Tagger],
+                   warped_ai_frame_bgr: np.ndarray,
+                   reference_frame_bgr: np.ndarray,
+                   mask_u8: np.ndarray, cfg: PixelInpaintConfig):
+    """Seeded masked inpainting (ofgen_pixel_inpaint.py:229-249):
+    prompt from the RAW frame's tags, image = warped AI frame,
+    reference = raw frame, fixed seed."""
+    prompt = _prompt_for(tagger, reference_frame_bgr, cfg.prompt_extra)
+    img, _, init_dec, _ = F.img2img_inpaint(
+        sd_inpaint,
+        image=bgr_u8_to_model(warped_ai_frame_bgr),
+        c_text=prompt,
+        uc_text=NEGATIVE_PROMPT,
+        denoising_strength=cfg.denoising_strength,
+        ddim_steps=cfg.ddim_steps,
+        reference_img=bgr_u8_to_model(reference_frame_bgr),
+        mask=(mask_u8.astype(np.float32) / 255.0),
+        mask_blur=cfg.mask_blur,
+        guidance_schedule_func=cfg.guidance_schedule_func,
+        seed=cfg.seed)
+    return model_to_bgr_u8(img), model_to_bgr_u8(init_dec)
+
+
+def keyframe_img2img(sd: F.StableDiffusionBundle, tagger: Optional[Tagger],
+                     frame_bgr: np.ndarray, cfg: PixelInpaintConfig):
+    prompt = _prompt_for(tagger, frame_bgr, cfg.prompt_extra)
+    img, _ = F.img2img(sd, bgr_u8_to_model(frame_bgr), prompt,
+                       NEGATIVE_PROMPT, cfg.denoising_strength,
+                       cfg.ddim_steps, seed=cfg.seed)
+    return model_to_bgr_u8(img)
+
+
+def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
+        save_dir: str,
+        sd: F.StableDiffusionBundle,
+        sd_inpaint: F.StableDiffusionBundle,
+        flow_estimator: FlowConfidenceEstimator,
+        tagger: Optional[Tagger] = None,
+        cfg: PixelInpaintConfig = PixelInpaintConfig()):
+    """Run the pipeline over (frame_bgr, is_key, index) triples.
+
+    Directory name keeps the reference scheme:
+    ``<save_dir>_pixel_warp-<name>`` (ofgen_pixel_inpaint.py:316-318)."""
+    out_dir = f"{save_dir}_pixel_warp-{cfg.name}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    reference_frame: Optional[np.ndarray] = None
+    reference_ai_frame: Optional[np.ndarray] = None
+
+    for frame_bgr, is_key, counter in frames:
+        if is_key:
+            ai_frame = keyframe_img2img(sd, tagger, frame_bgr, cfg)
+            reference_frame = frame_bgr
+            reference_ai_frame = ai_frame
+            if cfg.write_vis:
+                vis = np.concatenate([frame_bgr, frame_bgr, ai_frame,
+                                      ai_frame, frame_bgr, ai_frame], axis=1)
+                write_png(f"{out_dir}/vis_{counter:06d}.png", vis)
+                write_png(f"{out_dir}/pixel_confidence_{counter:06d}.png",
+                          np.ones(frame_bgr.shape[:2], np.uint8))
+        else:
+            # flow + confidence from keyframe -> current (RGB inputs)
+            flow, conf, log_conf = flow_estimator.calc(
+                reference_frame[..., ::-1].astype(np.float32),
+                frame_bgr[..., ::-1].astype(np.float32))
+            warped_ai = np.asarray(warp_frame(
+                jnp.asarray(reference_ai_frame.astype(np.float32)),
+                jnp.asarray(flow)))
+            warped_ai = np.clip(warped_ai, 0, 255).astype(np.uint8)
+            mask_u8, log_conf = generate_mask(conf, log_conf,
+                                              cfg.confidence_thres,
+                                              cfg.mask_dilate)
+            raw_ai_frame, _ = run_inpainting(sd_inpaint, tagger, warped_ai,
+                                             frame_bgr, mask_u8, cfg)
+            ai_frame = mix_propagated_ai_frame(
+                raw_ai_frame, warped_ai, mask_u8,
+                cfg.propagated_pixel_weight)
+            if cfg.write_vis:
+                conf_u8 = np.clip(conf * 255, 0, 255).astype(np.uint8)
+                write_png(f"{out_dir}/pixel_confidence_{counter:06d}.png",
+                          conf_u8)
+                masked = warped_ai.copy()
+                masked[mask_u8 > 127] = np.array([0, 0, 255], np.uint8)
+                vis = np.concatenate([reference_frame, frame_bgr,
+                                      raw_ai_frame, ai_frame, warped_ai,
+                                      masked], axis=1)
+                write_png(f"{out_dir}/vis_{counter:06d}.png", vis)
+
+        write_png(f"{out_dir}/converted_{counter:06d}.png", ai_frame)
+    return out_dir
+
+
+def run_video(video_path: str, save_dir: str, sd, sd_inpaint,
+              flow_estimator, tagger=None,
+              cfg: PixelInpaintConfig = PixelInpaintConfig()):
+    frames = frame_generator(video_path, FrameGenConfig(
+        size=cfg.size, keep_every=cfg.keep_every,
+        threshold=cfg.key_frame_thres))
+    return run(frames, save_dir, sd, sd_inpaint, flow_estimator, tagger, cfg)

@@ -1,0 +1,45 @@
+"""Host<->device image conversions and PNG IO.
+
+The pipelines keep the reference's external contracts (BGR uint8 frames
+from cv2, `converted_%06d.png` outputs, README.md:37-40) while the
+device side works in NHWC float [-1, 1] RGB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def bgr_u8_to_model(img_bgr: np.ndarray) -> jnp.ndarray:
+    """[H, W, 3] BGR uint8 -> [1, H, W, 3] RGB float32 in [-1, 1]."""
+    rgb = img_bgr[..., ::-1].astype(np.float32) / 127.5 - 1.0
+    return jnp.asarray(rgb)[None]
+
+
+def model_to_bgr_u8(img) -> np.ndarray:
+    """[1, H, W, 3] RGB [-1, 1] -> [H, W, 3] BGR uint8."""
+    arr = np.asarray(img[0])
+    arr = np.clip(arr * 127.5 + 127.5, 0, 255).astype(np.uint8)
+    return arr[..., ::-1]
+
+
+def rgb_u8(img) -> np.ndarray:
+    arr = np.asarray(img[0]) if img.ndim == 4 else np.asarray(img)
+    return np.clip(arr * 127.5 + 127.5, 0, 255).astype(np.uint8)
+
+
+def write_png(path: str, img_bgr: np.ndarray):
+    import cv2
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cv2.imwrite(path, img_bgr)
+
+
+def read_png_bgr(path: str) -> np.ndarray:
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img

@@ -1,0 +1,169 @@
+"""Facades + pixel-inpaint pipeline integration tests (tiny models)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sd_animation_optical_flow_tpu.models import clip as CL
+from sd_animation_optical_flow_tpu.models import flowconf as FC
+from sd_animation_optical_flow_tpu.models import raft as RF
+from sd_animation_optical_flow_tpu.models import unet as U
+from sd_animation_optical_flow_tpu.models import vae as V
+from sd_animation_optical_flow_tpu.pipelines import facades as F
+from sd_animation_optical_flow_tpu.pipelines import pixel_inpaint as PI
+from sd_animation_optical_flow_tpu.pipelines.keyframes import (
+    FrameGenConfig, array_frame_generator)
+from sd_animation_optical_flow_tpu.pipelines.tokenizer import PromptTokenizer
+
+
+def _tiny_bundle(rng, in_channels=4):
+    kv, ku, kc = jax.random.split(rng, 3)
+    vcfg = V.VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1)
+    ucfg = U.UNetConfig(in_channels=in_channels, model_channels=16,
+                        channel_mult=(1, 2), attention_resolutions=(1,),
+                        num_heads=2, context_dim=32)
+    ccfg = CL.CLIPTextConfig(vocab_size=49408, width=32, layers=1, heads=2)
+    return F.StableDiffusionBundle(
+        unet_params=U.unet_init(ku, ucfg), unet_cfg=ucfg,
+        vae_params=V.vae_init(kv, vcfg), vae_cfg=vcfg,
+        clip_params=CL.clip_text_init(kc, ccfg), clip_cfg=ccfg,
+        tokenizer=PromptTokenizer(hf_name_or_path=None))
+
+
+@pytest.fixture(scope="module")
+def bundles():
+    rng = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(rng)
+    return _tiny_bundle(k1), _tiny_bundle(k2, in_channels=9)
+
+
+def test_img2img_shape_and_determinism(bundles):
+    sd, _ = bundles
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3)) * 2 - 1
+    out1, kv = F.img2img(sd, img, "a girl", "bad", 0.2, ddim_steps=10,
+                         seed=1234, capture_kv=True)
+    out2, _ = F.img2img(sd, img, "a girl", "bad", 0.2, ddim_steps=10,
+                        seed=1234)
+    assert out1.shape == (1, 32, 32, 3)
+    assert float(jnp.abs(out1).max()) <= 1.0
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+    # kv_hist: 6 transformer layers for this config (2 enc + 1 mid + 3 dec)
+    assert kv is not None and len(kv) == 6
+    out3, _ = F.img2img(sd, img, "a girl", "bad", 0.2, ddim_steps=10,
+                        seed=999)
+    assert np.abs(np.asarray(out3) - np.asarray(out1)).max() > 1e-5
+
+
+def test_img2img_with_guidance(bundles):
+    sd, _ = bundles
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3)) * 2 - 1
+    tgt = -img
+    out, _ = F.img2img(sd, img, "x", "y", 0.3, ddim_steps=10,
+                       target_img=tgt,
+                       guidance_schedule_func=lambda p: 0.5, seed=1)
+    assert out.shape == (1, 32, 32, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_img2img_inpaint_contract(bundles):
+    _, sd9 = bundles
+    img = jax.random.uniform(jax.random.PRNGKey(2), (1, 32, 32, 3)) * 2 - 1
+    ref = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 3)) * 2 - 1
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    out, composited, init_dec, kv = F.img2img_inpaint(
+        sd9, img, "x", "y", denoising_strength=0.3, ddim_steps=10,
+        reference_img=ref, mask=mask, mask_blur=0, seed=1234,
+        capture_kv=True)
+    assert out.shape == (1, 32, 32, 3)
+    assert composited.shape == (1, 32, 32, 3)
+    assert init_dec.shape == (1, 32, 32, 3)
+    assert kv is not None
+    # compositing puts reference into masked region pre-encode
+    center = np.asarray(composited[0, 14:18, 14:18])
+    np.testing.assert_allclose(center, np.asarray(ref[0, 14:18, 14:18]),
+                               atol=0.05)
+
+
+def test_img2img_latent_inpaint(bundles):
+    _, sd9 = bundles
+    ref = jax.random.uniform(jax.random.PRNGKey(4), (1, 32, 32, 3)) * 2 - 1
+    # this tiny VAE has 2 levels -> /2 downscale: 32x32 image -> 16x16 latent
+    warped_latent = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, 4))
+    mask = np.ones((32, 32), np.float32)
+    mask[:16] = 0.0
+    out, decoded, init_dec, _ = F.img2img_latent_inpaint(
+        sd9, warped_latent, ref, mask, "x", "y",
+        denoising_strength=0.3, ddim_steps=10, mask_blur=2, seed=1)
+    assert out.shape == (1, 32, 32, 3)
+    # unmasked latent rows come from the warped latent
+    np.testing.assert_allclose(np.asarray(decoded[:, :3]),
+                               np.asarray(warped_latent[:, :3]), atol=1e-5)
+
+
+def _synthetic_frames(n=8, h=64, w=64):
+    """Moving square over gradient background, BGR uint8."""
+    rng = np.random.default_rng(0)
+    bg = (np.linspace(0, 255, w)[None, :, None]
+          * np.ones((h, 1, 3))).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        f = bg.copy()
+        x = 8 + 3 * i
+        f[20:40, x:x + 12] = np.array([200, 50, 50], np.uint8)
+        if i == n // 2:
+            f = 255 - f          # hard scene cut -> keyframe
+        frames.append(f)
+    return np.stack(frames)
+
+
+def test_pixel_inpaint_pipeline_end_to_end(bundles, tmp_path):
+    sd, sd9 = bundles
+    rng = jax.random.PRNGKey(11)
+    fcfg = FC.FlowConfidenceConfig(
+        raft=RF.RAFTConfig(iters=2, corr_levels=2, corr_radius=2))
+    flow_est = FC.FlowConfidenceEstimator(RF.raft_init(rng, fcfg.raft), fcfg)
+
+    frames = _synthetic_frames()
+    cfg = PI.PixelInpaintConfig(size=(64, 64), keep_every=1,
+                                key_frame_thres=24.0,
+                                denoising_strength=0.3, ddim_steps=10)
+    gen = array_frame_generator(frames, FrameGenConfig(
+        size=cfg.size, keep_every=1, threshold=cfg.key_frame_thres))
+    out_dir = PI.run(gen, str(tmp_path / "out"), sd, sd9, flow_est,
+                     tagger=None, cfg=cfg)
+
+    converted = sorted(p for p in os.listdir(out_dir)
+                       if p.startswith("converted_"))
+    assert len(converted) == len(frames)
+    import cv2
+    img = cv2.imread(os.path.join(out_dir, converted[0]))
+    assert img.shape == (64, 64, 3)
+    # vis strips and confidence maps written too
+    assert any(p.startswith("vis_") for p in os.listdir(out_dir))
+    assert any(p.startswith("pixel_confidence_")
+               for p in os.listdir(out_dir))
+
+
+def test_generate_mask_polarity():
+    conf = np.ones((20, 20), np.float32)
+    conf[:5] = 0.1
+    logc = np.full((20, 20), -0.5, np.float32)
+    mask, logc2 = PI.generate_mask(conf, logc, thres=0.95, dilate_size=3)
+    assert mask.dtype == np.uint8
+    assert (mask[:5] == 255).all()          # low confidence -> inpaint
+    assert (mask[8:] == 0).all()            # high confidence kept
+    assert (logc2[:5] == 0).all()           # reset where inpainted
+
+
+def test_mix_propagated_weights():
+    raw = np.full((4, 4, 3), 100, np.uint8)
+    warped = np.full((4, 4, 3), 200, np.uint8)
+    mask = np.zeros((4, 4), np.uint8)
+    out = PI.mix_propagated_ai_frame(raw, warped, mask, weight=1.0)
+    assert (out == 200).all()               # unmasked -> propagated pixels
+    out0 = PI.mix_propagated_ai_frame(raw, warped, mask, weight=0.0)
+    assert (out0 == 100).all()              # weight 0 -> raw frame
