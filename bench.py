@@ -1,0 +1,102 @@
+"""Headline benchmark: stabilized 512x768 frames/sec/chip, 20-step img2img.
+
+Measures the per-frame stabilized-generation cost of the pipeline's hot
+path — VAE encode + 20 scanned DDIM steps with CFG (2x UNet evals/step)
++ VAE decode at 512x768 — on the available accelerator, bf16 params.
+This is the workload the reference runs per frame
+(guided_ldm_inpainting.py:241-250: 50-step schedule, t_enc=20, CFG 7).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+vs_baseline is against the BASELINE.json north-star target of
+4 frames/s/chip (the reference publishes no numbers of its own).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+NORTH_STAR_FPS = 4.0
+H, W = 512, 768
+DDIM_STEPS = 50
+T_ENC = 20  # 0.4 * 50
+
+
+def build(dtype=jnp.bfloat16, batch: int = 1):
+    from sd_animation_optical_flow_tpu.diffusion import ddim as D
+    from sd_animation_optical_flow_tpu.diffusion.schedule import \
+        make_linear_schedule, make_ddim_params_traced
+    from sd_animation_optical_flow_tpu.models import unet as U
+    from sd_animation_optical_flow_tpu.models import vae as V
+
+    ucfg = U.UNetConfig()
+    vcfg = V.VAEConfig()
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+    # init on host CPU (per-op dispatch through the TPU tunnel is ~1.5s)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        unet_p = cast(U.unet_init(k1, ucfg))
+        vae_p = cast(V.vae_init(k2, vcfg))
+    dev = jax.devices()[0]
+    unet_p = jax.device_put(unet_p, dev)
+    vae_p = jax.device_put(vae_p, dev)
+    sched = make_linear_schedule()
+
+    def frame_step(img, ctx_c, ctx_u, rng):
+        lat = V.encode(vae_p, vcfg, img, rng=rng, sample=True)
+        ddim = make_ddim_params_traced(sched, DDIM_STEPS)
+        noise = jax.random.normal(rng, lat.shape, lat.dtype)
+        x1 = D.stochastic_encode(ddim, lat, T_ENC, noise)
+
+        def model_fn(x, t, c, control=None):
+            return U.unet_apply(unet_p, ucfg, x, t, c)[0]
+
+        out = D.ddim_decode(model_fn, sched, ddim, x1,
+                            D.CondBundle(crossattn=ctx_c),
+                            D.CondBundle(crossattn=ctx_u),
+                            T_ENC, cfg_scale=7.0, rng=rng)
+        return jnp.clip(V.decode(vae_p, vcfg, out), -1, 1)
+
+    img = jnp.zeros((batch, H, W, 3), dtype)
+    ctx_c = jnp.zeros((batch, 231, 768), dtype)
+    ctx_u = jnp.zeros((batch, 231, 768), dtype)
+    fn = jax.jit(frame_step)
+    return fn, (img, ctx_c, ctx_u, jax.random.PRNGKey(1))
+
+
+def main():
+    backend = jax.default_backend()
+    best_fps = 0.0
+    best_batch = 0
+    batches = (1, 4) if backend == "tpu" else (1,)
+    for batch in batches:
+        try:
+            fn, args = build(batch=batch)
+            out = fn(*args)
+            out.block_until_ready()          # compile + warm up
+            reps = 3 if backend == "tpu" else 1
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(*args)
+            out.block_until_ready()
+            dt = (time.perf_counter() - t0) / reps
+            fps = batch / dt
+            if fps > best_fps:
+                best_fps, best_batch = fps, batch
+        except Exception as e:  # noqa: BLE001 — report what we have
+            import sys
+            print(f"bench batch={batch} failed: {e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "stabilized 512x768 frames/s/chip (20-step img2img, "
+                  f"CFG 7, bf16, batch={best_batch}, {backend})",
+        "value": round(best_fps, 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(best_fps / NORTH_STAR_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

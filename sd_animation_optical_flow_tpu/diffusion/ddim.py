@@ -35,16 +35,17 @@ class CondBundle(NamedTuple):
 
 
 def cfg_model_call(model_fn: Callable, x, t, cond: CondBundle,
-                   uncond: CondBundle, scale: float):
+                   uncond: CondBundle, scale: float, control=None):
     """Classifier-free guidance with batch doubling ([uncond|cond] order,
-    matching guided_ldm.py:41-63)."""
+    matching guided_ldm.py:41-63). ``control`` is an optional 13-tuple of
+    ControlNet residuals (already CFG-batched) forwarded to the model."""
     x_in = jnp.concatenate([x, x], axis=0)
     t_in = jnp.concatenate([t, t], axis=0)
     ctx = jnp.concatenate([uncond.crossattn, cond.crossattn], axis=0)
     if cond.concat is not None:
         cc = jnp.concatenate([uncond.concat, cond.concat], axis=0)
         x_in = jnp.concatenate([x_in, cc.astype(x_in.dtype)], axis=-1)
-    out = model_fn(x_in, t_in, ctx)
+    out = model_fn(x_in, t_in, ctx, control)
     out_u, out_c = jnp.split(out, 2, axis=0)
     return out_u + scale * (out_c - out_u)
 
@@ -76,6 +77,9 @@ def ddim_decode(
     init_latent: Optional[jnp.ndarray] = None,
     nmask: Optional[jnp.ndarray] = None,              # [h, w, 1] or [B,h,w,1]
     renoise_gate: Optional[jnp.ndarray] = None,       # [t_enc] floats (gs)
+    # --- ControlNet (controlnet.py:412-432 semantics) ---
+    control_residuals=None,        # list over nets of 13-tuples (CFG batch)
+    control_weights=None,          # [t_enc, n_nets]
 ):
     """Run t_enc guided DDIM steps from x_latent. Returns final x0 latent.
 
@@ -107,7 +111,17 @@ def ddim_decode(
             nm = nmask.astype(x.dtype)
             x = jnp.where(gate, (1.0 - nm) * noised_init + nm * x, x)
 
-        model_out = cfg_model_call(model_fn, x, ts, cond, uncond, cfg_scale)
+        control = None
+        if control_residuals is not None:
+            w = control_weights[i]
+            control = None
+            for j, res in enumerate(control_residuals):
+                scaled = tuple(r * w[j].astype(r.dtype) for r in res)
+                control = scaled if control is None else \
+                    tuple(a + b for a, b in zip(control, scaled))
+
+        model_out = cfg_model_call(model_fn, x, ts, cond, uncond, cfg_scale,
+                                   control=control)
         if parameterization == "v":
             e_t = predict_eps_from_z_and_v(sched, x, ts, model_out)
         else:

@@ -334,12 +334,13 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
     h = _resblock(params["middle"]["res2"], h, emb)
 
     if control is not None:
-        h = h + control[12].astype(h.dtype)
+        h = h + control[-1].astype(h.dtype)   # middle residual is last
 
     for i, blk in enumerate(params["output_blocks"]):
         skip = hs.pop()
         if control is not None:
-            skip = skip + control[11 - i].astype(h.dtype)
+            # encoder residuals consumed last-to-first (controlnet.py:50-56)
+            skip = skip + control[len(control) - 2 - i].astype(h.dtype)
         h = jnp.concatenate([h, skip], axis=-1)
         h = _resblock(blk["res"], h, emb)
         if "transformer" in blk:

@@ -110,13 +110,15 @@ def _latent_hw(img_shape):
     jax.jit,
     static_argnames=("unet_cfg", "vae_cfg", "t_enc", "ddim_steps",
                      "parameterization", "cfg_scale", "capture_kv",
-                     "use_inpaint", "use_guidance", "final_composite"))
+                     "use_inpaint", "use_guidance", "final_composite",
+                     "control_cfgs"))
 def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   init_latent, ctx_cond, ctx_uncond, c_concat,
                   guidance_latent, guidance_strength, nmask, renoise_gate,
-                  ref_kv, rng, *, t_enc, ddim_steps, parameterization,
+                  ref_kv, rng, controls=None, control_weights=None, *,
+                  t_enc, ddim_steps, parameterization,
                   cfg_scale, capture_kv, use_inpaint, use_guidance,
-                  final_composite):
+                  final_composite, control_cfgs=()):
     """stochastic_encode -> scanned guided DDIM -> (final composite) ->
     VAE decode. One compiled program per static signature.
 
@@ -127,13 +129,28 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
     noise = jax.random.normal(k_noise, init_latent.shape, init_latent.dtype)
     x1 = D.stochastic_encode(ddim, init_latent, t_enc, noise)
 
-    def model_fn(x, t, ctx):
+    def model_fn(x, t, ctx, control=None):
         out, _ = U.unet_apply(unet_params, unet_cfg, x, t, ctx,
-                              ref_kv=ref_kv)
+                              ref_kv=ref_kv, control=control)
         return out
 
     cond = D.CondBundle(crossattn=ctx_cond, concat=c_concat)
     uncond = D.CondBundle(crossattn=ctx_uncond, concat=c_concat)
+
+    # ControlNet residuals: evaluated once from the entry latent at the
+    # first step's timestep (controlnet.py:412-432 first-call cache),
+    # re-weighted per step inside the scan.
+    control_residuals = None
+    if controls:
+        from ..models.controlnet import controlnet_apply
+        b = init_latent.shape[0]
+        x_ctrl = jnp.concatenate([x1, x1], axis=0)
+        t_ctrl = jnp.full((2 * b,), ddim.timesteps[max(t_enc - 1, 0)],
+                          jnp.int32)
+        ctx_ctrl = jnp.concatenate([ctx_uncond, ctx_cond], axis=0)
+        control_residuals = [
+            controlnet_apply(cp, ccfg, x_ctrl, hint, t_ctrl, ctx_ctrl)
+            for (cp, hint), ccfg in zip(controls, control_cfgs)]
 
     decoded = D.ddim_decode(
         model_fn, sched, ddim, x1, cond, uncond, t_enc,
@@ -143,7 +160,9 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
         guidance_strength=guidance_strength if use_guidance else None,
         init_latent=init_latent if use_inpaint else None,
         nmask=nmask if use_inpaint else None,
-        renoise_gate=renoise_gate if use_inpaint else None)
+        renoise_gate=renoise_gate if use_inpaint else None,
+        control_residuals=control_residuals,
+        control_weights=control_weights)
 
     if final_composite and nmask is not None:
         decoded = init_latent * (1.0 - nmask) + decoded * nmask
@@ -167,11 +186,25 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
 # facades
 # ---------------------------------------------------------------------------
 
+def _prep_controls(control_specs, t_enc, ddim_steps):
+    """ControlSpec list -> (controls pytree, static cfgs, step weights)."""
+    if not control_specs:
+        return None, (), None
+    from ..models.controlnet import control_step_weights
+    controls = tuple((s.params, jnp.asarray(s.hint, jnp.float32))
+                     for s in control_specs)
+    cfgs = tuple(s.cfg for s in control_specs)
+    progress = D.guidance_progress(max(t_enc, 1), ddim_steps)
+    weights = jnp.asarray(control_step_weights(control_specs, progress))
+    return controls, cfgs, weights
+
+
 def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
             denoising_strength: float = 0.3, ddim_steps: int = 50,
             target_img=None, guidance_schedule_func=None,
             guidance_weight=None, cfg_scale: float = 7.0,
-            seed: int = 1234, reference_kv=None, capture_kv: bool = False):
+            seed: int = 1234, reference_kv=None, capture_kv: bool = False,
+            control_specs=()):
     """Plain guided img2img (guided_ldm.py:165-219, latent guidance space).
 
     img: [1, H, W, 3] in [-1, 1]. Returns (image, kv_hist).
@@ -192,14 +225,17 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
             guidance_schedule_func, guidance_weight, t_enc, ddim_steps,
             init_latent.shape)
 
+    controls, ccfgs, cweights = _prep_controls(control_specs, t_enc,
+                                               ddim_steps)
     out, _, kv = _img2img_core(
         sd.unet_params, sd.unet_cfg, sd.vae_params, sd.vae_cfg, sd.sched,
         init_latent, ctx_c, ctx_u, None, guidance_latent, gs,
-        None, None, reference_kv, k_core,
+        None, None, reference_kv, k_core, controls, cweights,
         t_enc=t_enc, ddim_steps=ddim_steps,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=False,
-        use_guidance=use_guidance, final_composite=False)
+        use_guidance=use_guidance, final_composite=False,
+        control_cfgs=ccfgs)
     return out, kv
 
 
@@ -246,7 +282,8 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
                     ddim_steps: int = 50, reference_img=None, mask=None,
                     mask_blur: int = 16, guidance_schedule_func=None,
                     cfg_scale: float = 7.0, seed: int = 1234,
-                    reference_kv=None, capture_kv: bool = False):
+                    reference_kv=None, capture_kv: bool = False,
+                    control_specs=()):
     """Masked inpainting img2img (guided_ldm_inpainting.py:261-345).
 
     image/reference_img: [1, H, W, 3] in [-1, 1]; mask: [H, W] in {0, 1}
@@ -292,15 +329,17 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
         if t_enc > 0 else jnp.zeros((1,), jnp.float32)
     last_gs = float(gates[-1]) if t_enc > 0 else 1.0
 
+    controls, ccfgs, cweights = _prep_controls(control_specs, t_enc,
+                                               ddim_steps)
     out, decoded, kv = _img2img_core(
         sd.unet_params, sd.unet_cfg, sd.vae_params, sd.vae_cfg, sd.sched,
         init_latent, ctx_c, ctx_u, c_concat, jnp.zeros_like(init_latent),
         jnp.zeros((max(t_enc, 1), 1, 1, 1, 1), jnp.float32),
-        nmask, gates, reference_kv, k_core,
+        nmask, gates, reference_kv, k_core, controls, cweights,
         t_enc=t_enc, ddim_steps=ddim_steps,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=True, use_guidance=False,
-        final_composite=last_gs > 0)
+        final_composite=last_gs > 0, control_cfgs=ccfgs)
 
     init_latent_decoded = jnp.clip(sd.decode_latent(init_latent), -1, 1)
     return out, composited, init_latent_decoded, kv
@@ -312,7 +351,8 @@ def img2img_latent_inpaint(sd: StableDiffusionBundle, warped_latent,
                            ddim_steps: int = 50, mask_blur: int = 16,
                            guidance_schedule_func=None,
                            cfg_scale: float = 7.0, seed: int = 1234,
-                           reference_kv=None, capture_kv: bool = False):
+                           reference_kv=None, capture_kv: bool = False,
+                           control_specs=()):
     """Latent-space inpaint (guided_ldm_inpainting.py:347-414): blend the
     warped latent with the encoded reference by the latent mask, then
     inpaint-condition on its decode. Returns (image, decoded_latent,
@@ -342,15 +382,17 @@ def img2img_latent_inpaint(sd: StableDiffusionBundle, warped_latent,
         if t_enc > 0 else jnp.zeros((1,), jnp.float32)
     last_gs = float(gates[-1]) if t_enc > 0 else 1.0
 
+    controls, ccfgs, cweights = _prep_controls(control_specs, t_enc,
+                                               ddim_steps)
     out, decoded, kv = _img2img_core(
         sd.unet_params, sd.unet_cfg, sd.vae_params, sd.vae_cfg, sd.sched,
         init_latent, ctx_c, ctx_u, c_concat, jnp.zeros_like(init_latent),
         jnp.zeros((max(t_enc, 1), 1, 1, 1, 1), jnp.float32),
-        nmask, gates, reference_kv, k_core,
+        nmask, gates, reference_kv, k_core, controls, cweights,
         t_enc=t_enc, ddim_steps=ddim_steps,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=True, use_guidance=False,
-        final_composite=False)
+        final_composite=False, control_cfgs=ccfgs)
     if last_gs > 0:
         # composite against the WARPED latent (inpainting.py:404-405)
         decoded = warped_latent * (1.0 - nmask) + decoded * nmask

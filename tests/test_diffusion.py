@@ -67,7 +67,7 @@ def _oracle_model(x0):
     scanned sampler."""
     sched = S.make_linear_schedule()
 
-    def model_fn(x, t, ctx):
+    def model_fn(x, t, ctx, control=None):
         a = sched.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
         s = sched.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
         x0b = jnp.concatenate([x0, x0], axis=0) if x.shape[0] != x0.shape[0] else x0

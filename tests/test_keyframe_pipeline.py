@@ -1,0 +1,155 @@
+"""Hierarchical keyframe pipeline component + end-to-end tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sd_animation_optical_flow_tpu.models import flowconf as FC
+from sd_animation_optical_flow_tpu.models import raft as RF
+from sd_animation_optical_flow_tpu.pipelines import keyframe_inpaint as KI
+from tests.test_pipeline import _synthetic_frames, _tiny_bundle
+
+
+@pytest.fixture(scope="module")
+def flow_est():
+    cfg = FC.FlowConfidenceConfig(
+        raft=RF.RAFTConfig(iters=2, corr_levels=2, corr_radius=2))
+    return FC.FlowConfidenceEstimator(
+        RF.raft_init(jax.random.PRNGKey(0), cfg.raft), cfg)
+
+
+def test_frame_indices_ops():
+    fi = KI.FrameIndices([5, 1, 3, 3])
+    assert fi.indices == [1, 3, 5]
+    fi.add(7)
+    fi.add(KI.FrameIndices([2]))
+    assert fi.indices == [1, 2, 3, 5, 7]
+    fi.remove(KI.FrameIndices([3, 7]))
+    assert fi.indices == [1, 2, 5]
+
+    windows = list(KI.FrameIndices(range(10)).conv_indices(4, 2, 2))
+    assert windows[0].indices == [0, 2]       # kernel 4, dilation 2
+    assert windows[1].indices == [2, 4]
+
+    adj = KI.FrameIndices([0, 10, 20, 30]).adjacent_frames(11, 2)
+    assert adj.indices == [10, 20]
+
+
+def test_video_workspace_roundtrip(tmp_path):
+    frames = _synthetic_frames(6, 64, 64)
+    ws = KI.VideoWorkspace(str(tmp_path / "ws"), frames=frames,
+                           size=(64, 64), keep_every=2)
+    assert ws.num_frames == 3
+    raw = ws.get_raw_frame(1)
+    assert raw.shape == (64, 64, 3)
+    assert ws.get_ai_frame(1) is None and not ws.generated(1)
+    ws.put_ai_frame(1, raw)
+    assert ws.generated(1)
+    np.testing.assert_array_equal(ws.get_ai_frame(1), raw)
+
+    kv = ((jnp.ones((1, 8, 4)), jnp.zeros((1, 8, 4))),
+          (jnp.ones((1, 2, 6)) * 2, jnp.ones((1, 2, 6))))
+    ws.put_kv(1, kv)
+    kv2 = ws.get_kv(1)
+    assert len(kv2) == 2
+    np.testing.assert_allclose(np.asarray(kv2[1][0]), 2.0)
+    ws.remove_kv(1)
+    assert ws.get_kv(1) is None
+
+    # resume: re-opening with no frames picks up the extracted set
+    ws2 = KI.VideoWorkspace(str(tmp_path / "ws"), size=(64, 64))
+    assert ws2.num_frames == 3
+
+
+def test_flow_cache_and_pairwise(tmp_path, flow_est):
+    frames = _synthetic_frames(4, 32, 32)
+    ws = KI.VideoWorkspace(str(tmp_path / "ws"), frames=frames,
+                           size=(32, 32), keep_every=1)
+    fc = KI.FlowCache(flow_est, str(tmp_path / "ws"), batch_size=4)
+    idx = KI.FrameIndices([0, 1, 2])
+    mat = fc.calculate_pairwise(ws, idx)
+    assert mat.shape == (3, 3, 32, 32, 3)
+    # diagonal: zero flow, confidence 1
+    np.testing.assert_allclose(mat[1, 1, :, :, :2], 0.0)
+    np.testing.assert_allclose(mat[1, 1, :, :, 2], 1.0)
+    assert len(fc.cached_pair) == 6
+    # cache hit path: same call reuses npy files
+    mat2 = fc.calculate_pairwise(ws, idx)
+    np.testing.assert_allclose(mat, mat2)
+    m21 = fc.calculate_multiple_to_one(ws, idx, 1)
+    assert m21.shape == (3, 1, 32, 32, 3)
+    np.testing.assert_allclose(m21[1, 0], mat[1, 1])
+    fc.purge()
+    assert len(fc.cached_pair) == 0
+
+
+def test_keyframe_conv_selects_best_connected(tmp_path, flow_est):
+    frames = _synthetic_frames(6, 32, 32)
+    ws = KI.VideoWorkspace(str(tmp_path / "ws"), frames=frames,
+                           size=(32, 32), keep_every=1)
+    fc = KI.FlowCache(flow_est, str(tmp_path / "ws"), batch_size=8)
+    out = KI.keyframe_conv(fc, str(tmp_path / "d01"), ws,
+                           KI.FrameIndices(range(6)), kernel_size=3,
+                           stride=3, dilation=1)
+    assert 1 <= len(out) <= 2
+    # resumable: second call reads the saved selections
+    out2 = KI.keyframe_conv(fc, str(tmp_path / "d01"), ws,
+                            KI.FrameIndices(range(6)), 3, 3, 1)
+    assert out.indices == out2.indices
+
+
+def test_greedy_warp_merge(tmp_path):
+    frames = _synthetic_frames(3, 32, 32)
+    ws = KI.VideoWorkspace(str(tmp_path / "ws"), frames=frames,
+                           size=(32, 32), keep_every=1)
+    ws.put_ai_frame(0, np.full((32, 32, 3), 100, np.uint8))
+    ws.put_ai_frame(2, np.full((32, 32, 3), 200, np.uint8))
+    refs = KI.FrameIndices([0, 2])
+    flow_mat = np.zeros((2, 1, 32, 32, 3), np.float32)
+    flow_mat[0, 0, :, :, 2] = 0.9         # ref 0 confident everywhere...
+    flow_mat[1, 0, :16, :, 2] = 1.0       # ref 2 only on the top half
+    flow_mat[0, 0, :16, :, 2] = 0.2       # ...except the top half
+    merged, mask = KI.greedy_warp_merge(ws, refs, flow_mat, thres=0.5)
+    # ref 0 (more confident mass) is picked first and fills the bottom;
+    # ref 2 then covers the remaining top half; covered regions are
+    # subtracted so the first pick wins overlaps (:1021-1023)
+    assert (merged[16:] == 100).all()
+    assert (merged[:16] == 200).all()
+    assert (mask == 255).all()
+
+
+def test_expand_mask_adds_edges():
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:, 16:] = 255                      # strong vertical edge
+    mask = np.zeros((32, 32), np.uint8)
+    out = KI.expand_mask(mask, img)
+    assert out[16, 16] == 255              # edge region added
+    assert out[16, 2] == 0                 # flat region untouched
+
+
+def test_concat_ref_kv():
+    kv1 = ((jnp.ones((1, 4, 8)), jnp.ones((1, 4, 8))),)
+    kv2 = ((jnp.zeros((1, 6, 8)), jnp.zeros((1, 6, 8))),)
+    out = KI.concat_ref_kv([kv1, kv2, None])
+    assert out[0][0].shape == (1, 10, 8)
+    assert KI.concat_ref_kv([None]) is None
+
+
+def test_keyframe_pipeline_end_to_end(tmp_path, flow_est):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    sd = _tiny_bundle(k1)
+    sd9 = _tiny_bundle(k2, in_channels=9)
+    frames = _synthetic_frames(6, 64, 64)
+    ws = KI.VideoWorkspace(str(tmp_path / "ws"), frames=frames,
+                           size=(64, 64), keep_every=1)
+    cfg = KI.KeyframeInpaintConfig(
+        size=(64, 64), keep_every=1, kernel_size=3, stride=3, dilation=1,
+        n_seed_frames=2, num_ref_for_generation=1,
+        denoising_strength=0.3, ddim_steps=8)
+    KI.run(ws, sd, sd9, flow_est, tagger=None, cfg=cfg)
+    for i in range(ws.num_frames):
+        assert ws.generated(i), f"frame {i} not generated"
+        assert ws.get_ai_frame(i).shape == (64, 64, 3)
