@@ -13,6 +13,8 @@ vs_baseline is against the BASELINE.json north-star target of
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -24,25 +26,30 @@ DDIM_STEPS = 50
 T_ENC = 20  # 0.4 * 50
 
 
-def build(dtype=jnp.bfloat16, batch: int = 1):
-    from sd_animation_optical_flow_tpu.diffusion import ddim as D
-    from sd_animation_optical_flow_tpu.diffusion.schedule import \
-        make_linear_schedule, make_ddim_params_traced
+def build_params(dtype=jnp.bfloat16):
     from sd_animation_optical_flow_tpu.models import unet as U
     from sd_animation_optical_flow_tpu.models import vae as V
 
     ucfg = U.UNetConfig()
     vcfg = V.VAEConfig()
-    rng = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(rng)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
     # init on host CPU (per-op dispatch through the TPU tunnel is ~1.5s)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         unet_p = cast(U.unet_init(k1, ucfg))
         vae_p = cast(V.vae_init(k2, vcfg))
     dev = jax.devices()[0]
-    unet_p = jax.device_put(unet_p, dev)
-    vae_p = jax.device_put(vae_p, dev)
+    return (jax.device_put(unet_p, dev), ucfg,
+            jax.device_put(vae_p, dev), vcfg)
+
+
+def make_frame_step(unet_p, ucfg, vae_p, vcfg):
+    from sd_animation_optical_flow_tpu.diffusion import ddim as D
+    from sd_animation_optical_flow_tpu.diffusion.schedule import (
+        make_ddim_params_traced, make_linear_schedule)
+    from sd_animation_optical_flow_tpu.models import unet as U
+    from sd_animation_optical_flow_tpu.models import vae as V
+
     sched = make_linear_schedule()
 
     def frame_step(img, ctx_c, ctx_u, rng):
@@ -60,35 +67,44 @@ def build(dtype=jnp.bfloat16, batch: int = 1):
                             T_ENC, cfg_scale=7.0, rng=rng)
         return jnp.clip(V.decode(vae_p, vcfg, out), -1, 1)
 
-    img = jnp.zeros((batch, H, W, 3), dtype)
-    ctx_c = jnp.zeros((batch, 231, 768), dtype)
-    ctx_u = jnp.zeros((batch, 231, 768), dtype)
-    fn = jax.jit(frame_step)
-    return fn, (img, ctx_c, ctx_u, jax.random.PRNGKey(1))
+    return jax.jit(frame_step)
 
 
 def main():
     backend = jax.default_backend()
-    best_fps = 0.0
-    best_batch = 0
-    batches = (1, 4) if backend == "tpu" else (1,)
+    dtype = jnp.bfloat16
+    t0 = time.perf_counter()
+    unet_p, ucfg, vae_p, vcfg = build_params(dtype)
+    print(f"# init {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    fn = make_frame_step(unet_p, ucfg, vae_p, vcfg)
+
+    batches = [int(b) for b in
+               os.environ.get("BENCH_BATCHES", "1,4").split(",")] \
+        if backend == "tpu" else [1]
+    best_fps, best_batch = 0.0, 0
+    key = jax.random.PRNGKey(1)
     for batch in batches:
         try:
-            fn, args = build(batch=batch)
-            out = fn(*args)
-            out.block_until_ready()          # compile + warm up
+            img = jnp.zeros((batch, H, W, 3), dtype)
+            ctx = jnp.zeros((batch, 231, 768), dtype)
+            t0 = time.perf_counter()
+            out = fn(img, ctx, ctx, key)
+            out.block_until_ready()
+            print(f"# batch {batch}: compile+run "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
             reps = 3 if backend == "tpu" else 1
             t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn(*args)
+            for r in range(reps):
+                out = fn(img, ctx, ctx, jax.random.fold_in(key, r))
             out.block_until_ready()
             dt = (time.perf_counter() - t0) / reps
             fps = batch / dt
+            print(f"# batch {batch}: {dt:.3f}s/call = {fps:.3f} fps",
+                  file=sys.stderr)
             if fps > best_fps:
                 best_fps, best_batch = fps, batch
         except Exception as e:  # noqa: BLE001 — report what we have
-            import sys
-            print(f"bench batch={batch} failed: {e}", file=sys.stderr)
+            print(f"# bench batch={batch} failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "stabilized 512x768 frames/s/chip (20-step img2img, "
                   f"CFG 7, bf16, batch={best_batch}, {backend})",

@@ -1,0 +1,172 @@
+"""Command-line entry points.
+
+The reference exposes `python ofgen_pixel_inpaint.py --i <video> --o
+<save_dir>` (README.md:36-40) with every other knob hard-coded
+(ofgen_pixel_inpaint.py:371-381); ofgen_keyframe_inpaint.py has no CLI
+at all (paths hard-coded, :1124-1129). Here all three pipelines are
+subcommands with the hard-coded knobs exposed as flags.
+
+    python -m sd_animation_optical_flow_tpu.cli pixel-inpaint \
+        -i video.mp4 -o out --ckpt model.safetensors \
+        --inpaint-ckpt model_inpainting.safetensors
+
+Without checkpoints the pipelines run with random weights (smoke mode —
+useful for shape/latency checks, not for output quality).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def _add_common(p):
+    p.add_argument("-i", "--input", required=True, help="input video")
+    p.add_argument("-o", "--output", required=True, help="output dir")
+    p.add_argument("--ckpt", default=None, help="SD checkpoint "
+                   "(.safetensors/.ckpt); random weights if omitted")
+    p.add_argument("--inpaint-ckpt", default=None,
+                   help="9-ch inpainting checkpoint")
+    p.add_argument("--raft-ckpt", default=None, help="raft-things weights")
+    p.add_argument("--tagger-model", default=None, help="WD tagger .onnx")
+    p.add_argument("--tagger-tags", default=None, help="selected_tags.csv")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--keep-every", type=int, default=3)
+    p.add_argument("--ddim-steps", type=int, default=50)
+    p.add_argument("--denoising-strength", type=float, default=0.4)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--prompt-extra", default="",
+                   help="extra positive-prompt tags")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 weights/compute (TPU fast path)")
+
+
+def _build_models(args):
+    import jax.numpy as jnp
+    from . import config as C
+    from .models import flowconf as FC
+    from .models import raft as RF
+    from .pipelines.tagger import Tagger
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    sd = C.create_model("sd15", args.ckpt, dtype=dtype)
+    sd9 = C.create_model("sd15-inpaint9", args.inpaint_ckpt, dtype=dtype)
+
+    fcfg = FC.FlowConfidenceConfig()
+    if args.raft_ckpt:
+        from .utils.port_weights import load_state_dict, port_raft
+        raft_p, _ = port_raft(load_state_dict(args.raft_ckpt))
+    else:
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            raft_p = RF.raft_init(jax.random.PRNGKey(0), fcfg.raft)
+        print("[cli] no --raft-ckpt: flow estimator runs with random "
+              "weights (smoke mode)")
+    flow_est = FC.FlowConfidenceEstimator(raft_p, fcfg)
+    tagger = Tagger(args.tagger_model, args.tagger_tags)
+    if not tagger.available:
+        print("[cli] tagger unavailable; using fixed prompt prefix")
+    return sd, sd9, flow_est, tagger
+
+
+def cmd_pixel_inpaint(args):
+    from .pipelines import pixel_inpaint as PI
+    sd, sd9, flow_est, tagger = _build_models(args)
+    cfg = PI.PixelInpaintConfig(
+        size=(args.width, args.height), keep_every=args.keep_every,
+        key_frame_thres=args.key_frame_thres,
+        denoising_strength=args.denoising_strength,
+        confidence_thres=args.confidence_thres,
+        propagated_pixel_weight=args.propagated_pixel_weight,
+        ddim_steps=args.ddim_steps, seed=args.seed,
+        prompt_extra=args.prompt_extra)
+    out = PI.run_video(args.input, args.output, sd, sd9, flow_est, tagger,
+                       cfg)
+    print(f"[cli] wrote {out}")
+
+
+def cmd_ofgen(args):
+    import cv2
+    from .pipelines import ofgen as OF
+    sd, _, flow_est, tagger = _build_models(args)
+
+    def frames():
+        video = cv2.VideoCapture(args.input)
+        while True:
+            ret, frame = video.read()
+            if not ret:
+                break
+            yield cv2.resize(frame, (args.width, args.height),
+                             interpolation=cv2.INTER_AREA)
+        video.release()
+
+    def flow_calc(prev, cur):
+        import numpy as np
+        flow, _, _ = flow_est.calc(prev[..., ::-1].astype("float32"),
+                                   cur[..., ::-1].astype("float32"))
+        return flow
+
+    cfg = OF.OfgenConfig(denoising_strength=args.denoising_strength,
+                         ddim_steps=args.ddim_steps, seed=args.seed,
+                         prompt_extra=args.prompt_extra)
+    out = OF.run(frames(), args.output, sd, flow_calc, tagger, cfg)
+    print(f"[cli] wrote {out}")
+
+
+def cmd_keyframe_inpaint(args):
+    from .pipelines import keyframe_inpaint as KI
+    sd, sd9, flow_est, tagger = _build_models(args)
+    ws = KI.VideoWorkspace(args.output, video_path=args.input,
+                           size=(args.width, args.height),
+                           keep_every=args.keep_every,
+                           max_len_sec=args.max_len_sec)
+    cfg = KI.KeyframeInpaintConfig(
+        size=(args.width, args.height), keep_every=args.keep_every,
+        kernel_size=args.kernel_size, stride=args.stride,
+        num_ref_for_generation=args.num_refs,
+        denoising_strength=args.denoising_strength,
+        ddim_steps=args.ddim_steps, seed=args.seed, mode=args.mode,
+        prompt_extra=args.prompt_extra)
+    out = KI.run(ws, sd, sd9, flow_est, tagger, cfg)
+    print(f"[cli] wrote {out}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="sd_animation_optical_flow_tpu",
+        description="TPU-native flow-guided animation pipelines")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("pixel-inpaint",
+                        help="keyframe img2img + warp + masked inpainting "
+                             "(the README main pipeline)")
+    _add_common(p1)
+    p1.add_argument("--key-frame-thres", type=float, default=24.0)
+    p1.add_argument("--confidence-thres", type=float, default=0.95)
+    p1.add_argument("--propagated-pixel-weight", type=float, default=0.0)
+    p1.set_defaults(fn=cmd_pixel_inpaint)
+
+    p2 = sub.add_parser("ofgen", help="warp-as-guidance pipeline")
+    _add_common(p2)
+    p2.set_defaults(fn=cmd_ofgen)
+
+    p3 = sub.add_parser("keyframe-inpaint",
+                        help="hierarchical keyframe pipeline")
+    _add_common(p3)
+    p3.add_argument("--max-len-sec", type=int, default=30)
+    p3.add_argument("--kernel-size", type=int, default=30)
+    p3.add_argument("--stride", type=int, default=15)
+    p3.add_argument("--num-refs", type=int, default=1)
+    p3.add_argument("--mode", default="warp_and_inpaint_crossattn",
+                    choices=["warp_and_inpaint", "self_attn", "both",
+                             "warp_and_inpaint_crossattn"])
+    p3.set_defaults(fn=cmd_keyframe_inpaint)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

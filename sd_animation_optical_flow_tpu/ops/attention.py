@@ -145,12 +145,25 @@ def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q,
 
 def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
     """Dispatch: flash kernel on TPU for long unbiased sequences,
-    XLA attention otherwise (bias path and tiny shapes)."""
+    XLA attention otherwise (bias path and tiny shapes).
+
+    Head dims that aren't lane-aligned (SD-1.5 uses 40) are zero-padded
+    to 64 for the kernel — zero feature columns change neither the
+    scores nor the output, only the (unused) padded output columns."""
     if use_flash is None:
         on_tpu = jax.default_backend() == "tpu"
-        use_flash = (on_tpu and bias is None
-                     and q.shape[1] >= 1024 and q.shape[-1] % 64 == 0)
+        use_flash = on_tpu and bias is None and q.shape[1] >= 2048
     if use_flash and bias is None:
+        d = q.shape[-1]
+        dp = -(-d // 64) * 64
+        if dp != d:
+            # the kernel scales by 1/sqrt(dp); pre-scale q so the
+            # effective scale stays 1/sqrt(d)
+            q = _pad_to(q, dp, 3) * (math.sqrt(dp) / math.sqrt(d))
+            k = _pad_to(k, dp, 3)
+            v = _pad_to(v, dp, 3)
+            out = flash_attention(q, k, v)
+            return out[..., :d]
         return flash_attention(q, k, v)
     return xla_attention(q, k, v, bias=bias)
 
