@@ -20,6 +20,14 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: through the axon tunnel a cold compile of
+# the scanned denoise program takes minutes; the on-disk cache makes every
+# later process (including the driver's bench run) hit it warm.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 NORTH_STAR_FPS = 4.0
 H, W = 512, 768
 DDIM_STEPS = 50
@@ -70,13 +78,64 @@ def make_frame_step(unet_p, ucfg, vae_p, vcfg):
     return jax.jit(frame_step)
 
 
+def make_frame_step_loop(unet_p, ucfg, vae_p, vcfg):
+    """Python-level step loop over a jitted CFG UNet eval + jitted VAE
+    programs. Same math as the scanned path, but the biggest compiled
+    unit is one UNet step — a fallback for environments where compiling
+    the full scan is impractical (BENCH_MODE=loop). Async dispatch
+    pipelines the 40 step launches, so throughput is comparable."""
+    from sd_animation_optical_flow_tpu.diffusion import ddim as D
+    from sd_animation_optical_flow_tpu.diffusion.schedule import (
+        make_ddim_params, make_linear_schedule)
+    from sd_animation_optical_flow_tpu.models import unet as U
+    from sd_animation_optical_flow_tpu.models import vae as V
+
+    sched = make_linear_schedule()
+    ddim = make_ddim_params(sched, DDIM_STEPS)
+
+    @jax.jit
+    def encode(img, rng):
+        lat = V.encode(vae_p, vcfg, img, rng=rng, sample=True)
+        noise = jax.random.normal(rng, lat.shape, lat.dtype)
+        return D.stochastic_encode(ddim, lat, T_ENC, noise)
+
+    @jax.jit
+    def cfg_step(x, ts, a_t, a_prev, s1m, ctx2):
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_in = jnp.concatenate([ts, ts], axis=0)
+        out, _ = U.unet_apply(unet_p, ucfg, x_in, t_in, ctx2)
+        e_u, e_c = jnp.split(out, 2, axis=0)
+        e_t = e_u + 7.0 * (e_c - e_u)
+        pred_x0 = (x - s1m * e_t) / jnp.sqrt(a_t)
+        return jnp.sqrt(a_prev) * pred_x0 + jnp.sqrt(1 - a_prev) * e_t
+
+    @jax.jit
+    def decode(lat):
+        return jnp.clip(V.decode(vae_p, vcfg, lat), -1, 1)
+
+    def frame_step(img, ctx_c, ctx_u, rng):
+        b = img.shape[0]
+        x = encode(img, rng)
+        ctx2 = jnp.concatenate([ctx_u, ctx_c], axis=0)
+        for i in range(T_ENC - 1, -1, -1):
+            ts = jnp.full((b,), int(ddim.timesteps[i]), jnp.int32)
+            x = cfg_step(x, ts, ddim.alphas[i], ddim.alphas_prev[i],
+                         ddim.sqrt_one_minus_alphas[i], ctx2)
+        return decode(x)
+
+    return frame_step
+
+
 def main():
     backend = jax.default_backend()
     dtype = jnp.bfloat16
     t0 = time.perf_counter()
     unet_p, ucfg, vae_p, vcfg = build_params(dtype)
-    print(f"# init {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    fn = make_frame_step(unet_p, ucfg, vae_p, vcfg)
+    print(f"# init {time.perf_counter() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+    mode = os.environ.get("BENCH_MODE", "loop")
+    maker = make_frame_step if mode == "scan" else make_frame_step_loop
+    fn = maker(unet_p, ucfg, vae_p, vcfg)
 
     batches = [int(b) for b in
                os.environ.get("BENCH_BATCHES", "1,4").split(",")] \

@@ -33,6 +33,16 @@ class RAFTConfig:
     iters: int = 20
     fnet_dim: int = 256
     alternate_corr: bool = False   # on-the-fly windowed corr (alt path)
+    small: bool = False            # SmallEncoder/SmallUpdateBlock variant
+
+    @staticmethod
+    def small_config(**kw) -> "RAFTConfig":
+        """raft-small (raft.py args.small): hdim 96, cdim 64, 3 corr
+        levels radius 3, bottleneck encoders, bilinear 8x upsampling."""
+        base = dict(hidden_dim=96, context_dim=64, corr_levels=3,
+                    corr_radius=3, fnet_dim=128, small=True)
+        base.update(kw)
+        return RAFTConfig(**base)
 
     @property
     def corr_planes(self) -> int:
@@ -116,6 +126,55 @@ def encoder_apply(p, x, norm: str):
     return conv2d(p["conv2"], h)
 
 
+# --- small variant (SmallEncoder / bottleneck units, extractor.py:195-267)
+
+def _bottleneck_init(rng, in_ch, out_ch, stride):
+    k = jax.random.split(rng, 4)
+    quarter = out_ch // 4
+    p = {"conv1": conv2d_init(k[0], in_ch, quarter, 1),
+         "conv2": conv2d_init(k[1], quarter, quarter, 3),
+         "conv3": conv2d_init(k[2], quarter, out_ch, 1)}
+    if stride != 1:
+        p["down"] = conv2d_init(k[3], in_ch, out_ch, 1)
+    return p
+
+
+def _bottleneck(p, x, stride, norm="instance"):
+    def n(v):
+        return instance_norm(None, v) if norm == "instance" else v
+    y = jax.nn.relu(n(conv2d(p["conv1"], x)))
+    y = jax.nn.relu(n(conv2d(p["conv2"], y, stride=stride)))
+    y = jax.nn.relu(n(conv2d(p["conv3"], y)))
+    if "down" in p:
+        x = conv2d(p["down"], x, stride=stride)
+    return jax.nn.relu(x + y)
+
+
+def small_encoder_init(rng, out_dim: int):
+    rngs = iter(jax.random.split(rng, 16))
+    p = {"conv1": conv2d_init(next(rngs), 3, 32, 7)}
+    layers = []
+    in_ch = 32
+    for dim, stride in ((32, 1), (64, 2), (96, 2)):
+        layers.append([_bottleneck_init(next(rngs), in_ch, dim, stride),
+                       _bottleneck_init(next(rngs), dim, dim, 1)])
+        in_ch = dim
+    p["layers"] = layers
+    p["conv2"] = conv2d_init(next(rngs), 96, out_dim, 1)
+    return p
+
+
+def small_encoder_apply(p, x, norm: str = "instance"):
+    h = conv2d(p["conv1"], x, stride=2, padding=3)
+    if norm == "instance":
+        h = instance_norm(None, h)
+    h = jax.nn.relu(h)
+    for (u1, u2), stride in zip(p["layers"], (1, 2, 2)):
+        h = _bottleneck(u1, h, stride, norm)
+        h = _bottleneck(u2, h, 1, norm)
+    return conv2d(p["conv2"], h)
+
+
 # ---------------------------------------------------------------------------
 # update block (update.py:79-139)
 # ---------------------------------------------------------------------------
@@ -181,6 +240,47 @@ def update_block(p, net, inp, corr, flow):
     return net, mask, delta
 
 
+# --- small variant (SmallMotionEncoder/ConvGRU/SmallUpdateBlock,
+#     update.py:16-31, 62-77, 99-111)
+
+def small_update_block_init(rng, cfg: RAFTConfig):
+    k = jax.random.split(rng, 8)
+    return {
+        "encoder": {"convc1": conv2d_init(k[0], cfg.corr_planes, 96, 1),
+                    "convf1": conv2d_init(k[1], 2, 64, 7),
+                    "convf2": conv2d_init(k[2], 64, 32, 3),
+                    "conv": conv2d_init(k[3], 96 + 32, 80, 3)},
+        "gru": {"convz": conv2d_init(k[4], cfg.hidden_dim + 82
+                                     + cfg.context_dim, cfg.hidden_dim, 3),
+                "convr": conv2d_init(k[5], cfg.hidden_dim + 82
+                                     + cfg.context_dim, cfg.hidden_dim, 3),
+                "convq": conv2d_init(k[6], cfg.hidden_dim + 82
+                                     + cfg.context_dim, cfg.hidden_dim, 3)},
+        "flow_head": {"conv1": conv2d_init(k[7], cfg.hidden_dim, 128, 3),
+                      "conv2": conv2d_init(jax.random.fold_in(rng, 9),
+                                           128, 2, 3)},
+    }
+
+
+def small_update_block(p, net, inp, corr, flow):
+    cor = jax.nn.relu(conv2d(p["encoder"]["convc1"], corr))
+    flo = jax.nn.relu(conv2d(p["encoder"]["convf1"], flow, padding=3))
+    flo = jax.nn.relu(conv2d(p["encoder"]["convf2"], flo))
+    out = jax.nn.relu(conv2d(p["encoder"]["conv"],
+                             jnp.concatenate([cor, flo], -1)))
+    motion = jnp.concatenate([out, flow], -1)          # 82 channels
+    x = jnp.concatenate([inp, motion], -1)
+    hx = jnp.concatenate([net, x], -1)
+    z = jax.nn.sigmoid(conv2d(p["gru"]["convz"], hx))
+    r = jax.nn.sigmoid(conv2d(p["gru"]["convr"], hx))
+    q = jnp.tanh(conv2d(p["gru"]["convq"],
+                        jnp.concatenate([r * net, x], -1)))
+    net = (1 - z) * net + z * q
+    delta = conv2d(p["flow_head"]["conv2"],
+                   jax.nn.relu(conv2d(p["flow_head"]["conv1"], net)))
+    return net, None, delta
+
+
 # ---------------------------------------------------------------------------
 # convex upsampling (raft.py:72-83)
 # ---------------------------------------------------------------------------
@@ -207,11 +307,25 @@ def upsample_flow_convex(flow, mask):
 
 def raft_init(rng, cfg: RAFTConfig = RAFTConfig()):
     k = jax.random.split(rng, 3)
+    if cfg.small:
+        return {
+            "fnet": small_encoder_init(k[0], cfg.fnet_dim),
+            "cnet": small_encoder_init(k[1], cfg.hidden_dim
+                                       + cfg.context_dim),
+            "update": small_update_block_init(k[2], cfg),
+        }
     return {
         "fnet": encoder_init(k[0], cfg.fnet_dim, "instance"),
         "cnet": encoder_init(k[1], cfg.hidden_dim + cfg.context_dim, "batch"),
         "update": update_block_init(k[2], cfg),
     }
+
+
+def upflow8(flow):
+    """Bilinear 8x flow upsampling (utils.py:80-82), used when no convex
+    mask is available (small variant)."""
+    n, h, w, _ = flow.shape
+    return 8.0 * jax.image.resize(flow, (n, 8 * h, 8 * w, 2), "bilinear")
 
 
 def coords_grid(n, h, w):
@@ -234,8 +348,12 @@ def raft_apply(params, cfg: RAFTConfig, image1, image2, *,
     img2 = 2.0 * (image2 / 255.0) - 1.0
 
     # shared-batch encoder trick (extractor.py:171-174)
-    fmaps = encoder_apply(params["fnet"],
-                          jnp.concatenate([img1, img2], 0), "instance")
+    if cfg.small:
+        fmaps = small_encoder_apply(params["fnet"],
+                                    jnp.concatenate([img1, img2], 0))
+    else:
+        fmaps = encoder_apply(params["fnet"],
+                              jnp.concatenate([img1, img2], 0), "instance")
     fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
     fmap1 = fmap1.astype(jnp.float32)
     fmap2 = fmap2.astype(jnp.float32)
@@ -250,7 +368,10 @@ def raft_apply(params, cfg: RAFTConfig, image1, image2, *,
         corr_fn = lambda coords: lookup_pyramid(pyramid, coords,
                                                 cfg.corr_radius)
 
-    cnet = encoder_apply(params["cnet"], img1, "batch")
+    if cfg.small:
+        cnet = small_encoder_apply(params["cnet"], img1, norm="none")
+    else:
+        cnet = encoder_apply(params["cnet"], img1, "batch")
     net, inp = jnp.split(cnet, [cfg.hidden_dim], axis=-1)
     net = jnp.tanh(net)
     inp = jax.nn.relu(inp)
@@ -259,19 +380,24 @@ def raft_apply(params, cfg: RAFTConfig, image1, image2, *,
     coords0 = coords_grid(n, h8, w8)
     coords1 = coords0 if flow_init is None else coords0 + flow_init
 
+    upd = small_update_block if cfg.small else update_block
+
     def step(carry, _):
         net, coords1 = carry
         coords1 = jax.lax.stop_gradient(coords1)
         corr = corr_fn(coords1)
         flow = coords1 - coords0
-        net2, up_mask, delta = update_block(params["update"], net, inp,
-                                            corr, flow)
-        return (net2, coords1 + delta), up_mask
+        net2, up_mask, delta = upd(params["update"], net, inp, corr, flow)
+        out = up_mask if up_mask is not None else jnp.zeros((), img1.dtype)
+        return (net2, coords1 + delta), out
 
     (net, coords1), up_masks = jax.lax.scan(step, (net, coords1), None,
                                             length=iters)
     flow_low = coords1 - coords0
-    flow_up = upsample_flow_convex(flow_low, up_masks[-1])
+    if cfg.small:
+        flow_up = upflow8(flow_low)
+    else:
+        flow_up = upsample_flow_convex(flow_low, up_masks[-1])
     return flow_low, flow_up
 
 
