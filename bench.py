@@ -40,10 +40,13 @@ def build_params(dtype=jnp.bfloat16):
 
     ucfg = U.UNetConfig()
     vcfg = V.VAEConfig()
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
-    # init on host CPU (per-op dispatch through the TPU tunnel is ~1.5s)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    # init fully on host CPU (every op through the TPU tunnel is slow —
+    # even PRNG key splits stay on the CPU backend)
+    from sd_animation_optical_flow_tpu.models.layers import numpy_init
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), \
+            numpy_init():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         unet_p = cast(U.unet_init(k1, ucfg))
         vae_p = cast(V.vae_init(k2, vcfg))
     dev = jax.devices()[0]
@@ -90,8 +93,16 @@ def make_frame_step_loop(unet_p, ucfg, vae_p, vcfg):
     from sd_animation_optical_flow_tpu.models import unet as U
     from sd_animation_optical_flow_tpu.models import vae as V
 
+    import numpy as np
+
     sched = make_linear_schedule()
     ddim = make_ddim_params(sched, DDIM_STEPS)
+    # host-side copies: indexing device arrays per step would sync
+    # through the tunnel every iteration
+    h_ts = np.asarray(ddim.timesteps)
+    h_a = np.asarray(ddim.alphas)
+    h_ap = np.asarray(ddim.alphas_prev)
+    h_s1m = np.asarray(ddim.sqrt_one_minus_alphas)
 
     @jax.jit
     def encode(img, rng):
@@ -118,9 +129,9 @@ def make_frame_step_loop(unet_p, ucfg, vae_p, vcfg):
         x = encode(img, rng)
         ctx2 = jnp.concatenate([ctx_u, ctx_c], axis=0)
         for i in range(T_ENC - 1, -1, -1):
-            ts = jnp.full((b,), int(ddim.timesteps[i]), jnp.int32)
-            x = cfg_step(x, ts, ddim.alphas[i], ddim.alphas_prev[i],
-                         ddim.sqrt_one_minus_alphas[i], ctx2)
+            ts = jnp.full((b,), int(h_ts[i]), jnp.int32)
+            x = cfg_step(x, ts, float(h_a[i]), float(h_ap[i]),
+                         float(h_s1m[i]), ctx2)
         return decode(x)
 
     return frame_step

@@ -65,7 +65,9 @@ class BundleSpec:
         else:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             k1, k2, k3 = jax.random.split(rng, 3)
-            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            from .models.layers import numpy_init
+            with jax.default_device(jax.local_devices(backend="cpu")[0]), \
+                    numpy_init():
                 unet_p = unet_init(k1, self.unet)
                 vae_p = vae_init(k2, vae_cfg)
                 clip_p = clip_text_init(k3, self.clip)

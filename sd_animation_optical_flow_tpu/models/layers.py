@@ -26,9 +26,41 @@ import jax.numpy as jnp
 # initializers
 # ---------------------------------------------------------------------------
 
+import contextlib
+
+import numpy as _np
+
+# When True, initializers draw from numpy instead of jax.random: zero
+# compiles/dispatches. Random-weight init is not numerics-critical, and
+# in remote-compile environments (axon tunnel) every jax.random call is
+# a separate remote compilation — full-model init goes from minutes to
+# seconds. Seeds derive from the jax key data, so it stays deterministic.
+_NUMPY_INIT = False
+
+
+@contextlib.contextmanager
+def numpy_init():
+    global _NUMPY_INIT
+    prev = _NUMPY_INIT
+    _NUMPY_INIT = True
+    try:
+        yield
+    finally:
+        _NUMPY_INIT = prev
+
+
+def _np_seed(rng) -> int:
+    data = _np.asarray(jax.random.key_data(rng)).ravel()
+    return int(data[-1]) ^ (int(data[0]) << 1)
+
+
 def _kaiming_uniform(rng, shape, fan_in):
     # torch's default Conv/Linear init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
     bound = 1.0 / math.sqrt(max(fan_in, 1))
+    if _NUMPY_INIT:
+        r = _np.random.default_rng(_np_seed(rng))
+        return jnp.asarray(r.uniform(-bound, bound, shape)
+                           .astype(_np.float32))
     return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
 
 
