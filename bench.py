@@ -27,6 +27,9 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# the XLA-internal AOT sub-caches are machine-feature-specific and this
+# tunnel compiles remotely — keep only the executable cache
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 NORTH_STAR_FPS = 4.0
 H, W = 512, 768

@@ -108,11 +108,18 @@ class FlowConfidenceEstimator:
     def calc_batch(self, src, tgt):
         """src/tgt [B, H, W, 3] -> numpy (flow [B,H,W,2], conf, log_conf).
         The batched API PDCNetAux depends on (ofgen_keyframe_inpaint.py:594)."""
+        flow, conf, log_conf = self.calc_batch_device(src, tgt)
+        return np.asarray(flow), np.asarray(conf), np.asarray(log_conf)
+
+    def calc_batch_device(self, src, tgt):
+        """Async variant: returns device arrays without host sync, so the
+        caller can dispatch flow for frame t+1 while frame t's denoise is
+        still in flight (the streaming overlap, SURVEY §2.7 host⇄device
+        staging row)."""
         src = jnp.asarray(src, jnp.float32)
         tgt = jnp.asarray(tgt, jnp.float32)
         src_p, (h, w) = pad_to_multiple(src, 8)
         tgt_p, _ = pad_to_multiple(tgt, 8)
         flow, conf, log_conf = _flow_conf_batch(self.params, self.cfg,
                                                 src_p, tgt_p)
-        return (np.asarray(flow[:, :h, :w]), np.asarray(conf[:, :h, :w]),
-                np.asarray(log_conf[:, :h, :w]))
+        return flow[:, :h, :w], conf[:, :h, :w], log_conf[:, :h, :w]

@@ -115,6 +115,20 @@ def keyframe_img2img(sd: F.StableDiffusionBundle, tagger: Optional[Tagger],
     return model_to_bgr_u8(img)
 
 
+def _lookahead(iterable):
+    """Yield (item, next_item_or_None) with one-step lookahead — lets the
+    loop dispatch flow for frame t+1 before blocking on frame t."""
+    it = iter(iterable)
+    try:
+        cur = next(it)
+    except StopIteration:
+        return
+    for nxt in it:
+        yield cur, nxt
+        cur = nxt
+    yield cur, None
+
+
 def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
         save_dir: str,
         sd: F.StableDiffusionBundle,
@@ -124,6 +138,12 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
         cfg: PixelInpaintConfig = PixelInpaintConfig()):
     """Run the pipeline over (frame_bgr, is_key, index) triples.
 
+    Streaming design: flow+confidence for the NEXT frame is dispatched
+    (async, device-resident) before the current frame's denoise result is
+    pulled to the host, so the flow network overlaps the UNet scan — the
+    reference instead blocks the GPU on cv2 work between stages
+    (SURVEY §3.1 boundary notes).
+
     Directory name keeps the reference scheme:
     ``<save_dir>_pixel_warp-<name>`` (ofgen_pixel_inpaint.py:316-318)."""
     out_dir = f"{save_dir}_pixel_warp-{cfg.name}"
@@ -131,12 +151,22 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
 
     reference_frame: Optional[np.ndarray] = None
     reference_ai_frame: Optional[np.ndarray] = None
+    pending_flow = None   # device arrays for the current frame, if prefetched
 
-    for frame_bgr, is_key, counter in frames:
+    def dispatch_flow(ref_bgr, cur_bgr):
+        return flow_estimator.calc_batch_device(
+            ref_bgr[None, ..., ::-1].astype(np.float32),
+            cur_bgr[None, ..., ::-1].astype(np.float32))
+
+    for (frame_bgr, is_key, counter), nxt in _lookahead(frames):
         if is_key:
+            pending_flow = None
             ai_frame = keyframe_img2img(sd, tagger, frame_bgr, cfg)
             reference_frame = frame_bgr
             reference_ai_frame = ai_frame
+            # prefetch flow for the next frame against the NEW keyframe
+            if nxt is not None and not nxt[1]:
+                pending_flow = dispatch_flow(reference_frame, nxt[0])
             if cfg.write_vis:
                 vis = np.concatenate([frame_bgr, frame_bgr, ai_frame,
                                       ai_frame, frame_bgr, ai_frame], axis=1)
@@ -144,10 +174,18 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
                 write_png(f"{out_dir}/pixel_confidence_{counter:06d}.png",
                           np.ones(frame_bgr.shape[:2], np.uint8))
         else:
-            # flow + confidence from keyframe -> current (RGB inputs)
-            flow, conf, log_conf = flow_estimator.calc(
-                reference_frame[..., ::-1].astype(np.float32),
-                frame_bgr[..., ::-1].astype(np.float32))
+            # flow + confidence keyframe -> current: use the prefetched
+            # dispatch when available, else compute now
+            if pending_flow is None:
+                pending_flow = dispatch_flow(reference_frame, frame_bgr)
+            flow_d, conf_d, log_conf_d = pending_flow
+            # dispatch the NEXT frame's flow before any host sync
+            pending_flow = None
+            if nxt is not None and not nxt[1]:
+                pending_flow = dispatch_flow(reference_frame, nxt[0])
+            flow = np.asarray(flow_d[0])
+            conf = np.asarray(conf_d[0])
+            log_conf = np.asarray(log_conf_d[0])
             warped_ai = np.asarray(warp_frame(
                 jnp.asarray(reference_ai_frame.astype(np.float32)),
                 jnp.asarray(flow)))
