@@ -151,8 +151,14 @@ def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
     to 64 for the kernel — zero feature columns change neither the
     scores nor the output, only the (unused) padded output columns."""
     if use_flash is None:
+        import os
+        # default off: the axon remote-compile path has shown
+        # pathological Mosaic compile times for this kernel; XLA
+        # attention at 6k tokens fits HBM (2.4GB scores) and is proven.
+        # Set SDAOF_FLASH=1 to enable for long sequences.
         on_tpu = jax.default_backend() == "tpu"
-        use_flash = on_tpu and bias is None and q.shape[1] >= 2048
+        use_flash = (on_tpu and bias is None and q.shape[1] >= 2048
+                     and os.environ.get("SDAOF_FLASH", "0") == "1")
     if use_flash and bias is None:
         d = q.shape[-1]
         dp = -(-d // 64) * 64
