@@ -86,6 +86,14 @@ class BundleSpec:
 SD15 = BundleSpec()
 SD15_INPAINT9 = BundleSpec(conditioning_key="hybrid",
                            unet=UNetConfig(in_channels=9))
+# depth2img: 4 latent + 1 depth channel (LatentDepth2ImageDiffusion,
+# ddpm.py:1756-1807; consumed by pipelines/specializations.py)
+SD15_DEPTH = BundleSpec(conditioning_key="hybrid",
+                        unet=UNetConfig(in_channels=5))
+# latent upscaler: 4 latent + 3 low-res channels, class-conditional on
+# the augmentation noise level (LatentUpscaleDiffusion, ddpm.py:1426)
+SD_UPSCALE = BundleSpec(conditioning_key="hybrid",
+                        unet=UNetConfig(in_channels=7, num_classes=1000))
 
 
 def _spec_from_reference_yaml(doc: dict) -> BundleSpec:
@@ -124,7 +132,8 @@ def _spec_from_reference_yaml(doc: dict) -> BundleSpec:
 def load_spec(path_or_name: str) -> BundleSpec:
     """YAML path (ours or the reference schema) or a builtin name
     ('sd15', 'sd15-inpaint9')."""
-    builtins = {"sd15": SD15, "sd15-inpaint9": SD15_INPAINT9}
+    builtins = {"sd15": SD15, "sd15-inpaint9": SD15_INPAINT9,
+                "sd15-depth": SD15_DEPTH, "sd-upscale": SD_UPSCALE}
     if path_or_name in builtins:
         return builtins[path_or_name]
     import yaml

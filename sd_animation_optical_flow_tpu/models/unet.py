@@ -47,6 +47,10 @@ class UNetConfig:
     num_heads: int = 8
     transformer_depth: int = 1
     context_dim: int = 768
+    # class/adm conditioning (openaimodel.py UNetModel num_classes):
+    # an int-label embedding added to the time embedding. Used by the
+    # upscaling diffusion's noise-level conditioning (ddpm.py:1445-1457).
+    num_classes: Optional[int] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -223,6 +227,10 @@ def unet_init(rng, cfg: UNetConfig = UNetConfig()):
         "time_embed": [linear_init(next(rngs), mc, ted),
                        linear_init(next(rngs), ted, ted)],
     }
+    if cfg.num_classes is not None:
+        # torch nn.Embedding default N(0,1) (openaimodel UNetModel)
+        p["label_emb"] = jax.random.normal(
+            next(rngs), (cfg.num_classes, ted), jnp.float32)
 
     input_blocks: list = [{"conv": conv2d_init(next(rngs), cfg.in_channels, mc, 3)}]
     ch = mc
@@ -282,7 +290,8 @@ def unet_init(rng, cfg: UNetConfig = UNetConfig()):
 def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
                ref_kv: Optional[Tuple] = None,
                control: Optional[Tuple] = None,
-               attn_biases: Optional[dict] = None):
+               attn_biases: Optional[dict] = None,
+               y: Optional[jnp.ndarray] = None):
     """Forward pass.
 
     Args:
@@ -295,6 +304,8 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
         entries 0..11 for the encoder skips, 12 for the middle block.
       attn_biases: optional {layer_idx: bias} additive attention biases
         (multi-frame banded strips).
+      y: [B] int class labels (adm conditioning, e.g. the upscaler's
+        noise level); required iff cfg.num_classes is set.
 
     Returns:
       (out [B, H, W, out_channels], kv_hist 16-tuple of (k, v)).
@@ -303,6 +314,9 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
     t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=x.dtype)
     emb = linear(params["time_embed"][1],
                  swish(linear(params["time_embed"][0], t_emb)))
+    if cfg.num_classes is not None:
+        assert y is not None, "class-conditional UNet needs y labels"
+        emb = emb + params["label_emb"][y].astype(emb.dtype)
 
     def tfm(p, h, layer_idx):
         rkv = ref_kv[layer_idx] if ref_kv is not None else None
