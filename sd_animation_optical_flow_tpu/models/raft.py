@@ -412,3 +412,32 @@ def pad_to_multiple(img, multiple: int = 8):
     cfg[-3] = (0, ph)
     cfg[-2] = (0, pw)
     return jnp.pad(img, cfg, mode="edge"), (h, w)
+
+
+def forward_interpolate(flow):
+    """Warm-start flow re-gridding (utils.py:26-54): scatter each pixel's
+    flow to its forward-advected position and re-grid by nearest-neighbor
+    interpolation over the scattered points. Host-side (numpy/scipy) —
+    it runs once per frame pair between scans, exactly like the
+    reference's scipy griddata call.
+
+    flow [H, W, 2] -> [H, W, 2] float32.
+    """
+    import numpy as np
+    flow = np.asarray(flow, np.float32)
+    h, w = flow.shape[:2]
+    gy, gx = np.mgrid[0:h, 0:w]
+    dx, dy = flow[..., 0], flow[..., 1]
+    x1 = (gx + dx).ravel()
+    y1 = (gy + dy).ravel()
+    keep = (x1 > 0) & (x1 < w) & (y1 > 0) & (y1 < h)
+    fx = dx.ravel()[keep]
+    fy = dy.ravel()[keep]
+    x1, y1 = x1[keep], y1[keep]
+    if x1.size == 0:
+        return np.zeros_like(flow)
+    from scipy import interpolate as _interp
+    pts = np.stack([x1, y1], axis=-1)
+    fx_g = _interp.griddata(pts, fx, (gx, gy), method="nearest")
+    fy_g = _interp.griddata(pts, fy, (gx, gy), method="nearest")
+    return np.stack([fx_g, fy_g], axis=-1).astype(np.float32)

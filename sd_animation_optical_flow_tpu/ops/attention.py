@@ -174,6 +174,24 @@ def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
     return xla_attention(q, k, v, bias=bias)
 
 
+def sliced_attention(q, k, v, *, slice_size: int = 1024, bias=None):
+    """Query-chunked attention for O(n^2)-memory relief — the TPU analog
+    of the reference's low-VRAM sliced attention (hack.py:74-113): the
+    score matrix is materialized ``slice_size`` query rows at a time.
+
+    q [B, Nq, H, D], k/v [B, Nk, H, D] -> [B, Nq, H, D]. Peak scores
+    memory drops from Nq*Nk to slice_size*Nk per head. Prefer
+    :func:`flash_attention` on TPU — this exists for bias-carrying or
+    interpreter paths where the Pallas kernel is unavailable."""
+    nq = q.shape[1]
+    outs = []
+    for s in range(0, nq, slice_size):
+        e = min(s + slice_size, nq)
+        b_slice = None if bias is None else bias[..., s:e, :]
+        outs.append(xla_attention(q[:, s:e], k, v, bias=b_slice))
+    return jnp.concatenate(outs, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Banded cross-frame attention bias (multi-frame strips)
 # ---------------------------------------------------------------------------

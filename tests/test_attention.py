@@ -63,3 +63,21 @@ def test_banded_strip_bias_shape_and_band():
     assert b[0, (3 * w) + 3] == -1000.0
     # tiled identically for every frame in the strip
     np.testing.assert_allclose(b[:, : h * w], b[:, h * w: 2 * h * w])
+
+
+def test_sliced_attention_matches_xla(rng):
+    from sd_animation_optical_flow_tpu.ops.attention import (
+        sliced_attention, xla_attention)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    q = jax.random.normal(k1, (2, 37, 4, 16))
+    k = jax.random.normal(k2, (2, 53, 4, 16))
+    v = jax.random.normal(k3, (2, 53, 4, 16))
+    bias = jax.random.normal(k4, (1, 1, 37, 53))
+    ref = xla_attention(q, k, v, bias=bias)
+    out = sliced_attention(q, k, v, slice_size=16, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+    out2 = sliced_attention(q, k, v, slice_size=16)
+    ref2 = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-5)

@@ -139,3 +139,20 @@ def test_flow_confidence_estimator_api(rng):
                                      np.stack([tgt, tgt]))
     assert bflow.shape == (2, 30, 42, 2)
     np.testing.assert_allclose(bflow[0], bflow[1], atol=1e-5)
+
+
+def test_forward_interpolate_identity_for_zero_flow():
+    from sd_animation_optical_flow_tpu.models.raft import forward_interpolate
+    flow = np.zeros((8, 10, 2), np.float32)
+    flow[2:6, 2:8] = 0.0
+    out = forward_interpolate(flow)
+    np.testing.assert_allclose(out, flow, atol=1e-6)
+
+
+def test_forward_interpolate_constant_shift():
+    from sd_animation_optical_flow_tpu.models.raft import forward_interpolate
+    flow = np.ones((12, 16, 2), np.float32) * 2.0
+    out = forward_interpolate(flow)
+    # constant flow scattered forward and re-gridded stays constant
+    np.testing.assert_allclose(out, flow, atol=1e-5)
+    assert out.dtype == np.float32
