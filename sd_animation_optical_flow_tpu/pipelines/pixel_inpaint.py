@@ -26,7 +26,9 @@ import numpy as np
 from ..models.flowconf import FlowConfidenceEstimator
 from ..ops.filters import dilate, ellipse_kernel
 from ..ops.warp import warp_frame
-from ..utils.images import bgr_u8_to_model, model_to_bgr_u8, write_png
+from ..utils.images import (bgr_f32_to_u8, bgr_f32d_to_model,
+                            bgr_u8_to_model, model_to_bgr_f32d,
+                            model_to_bgr_u8, write_png)
 from . import facades as F
 from .keyframes import FrameGenConfig, frame_generator
 from .tagger import NEGATIVE_PROMPT, Tagger
@@ -151,6 +153,7 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
 
     reference_frame: Optional[np.ndarray] = None
     reference_ai_frame: Optional[np.ndarray] = None
+    reference_ai_d = None   # device BGR float copy of the AI reference
     pending_flow = None   # device arrays for the current frame, if prefetched
 
     def dispatch_flow(ref_bgr, cur_bgr):
@@ -164,6 +167,7 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
             ai_frame = keyframe_img2img(sd, tagger, frame_bgr, cfg)
             reference_frame = frame_bgr
             reference_ai_frame = ai_frame
+            reference_ai_d = None   # re-uploaded lazily on first warp
             # prefetch flow for the next frame against the NEW keyframe
             if nxt is not None and not nxt[1]:
                 pending_flow = dispatch_flow(reference_frame, nxt[0])
@@ -178,30 +182,58 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
             # dispatch when available, else compute now
             if pending_flow is None:
                 pending_flow = dispatch_flow(reference_frame, frame_bgr)
-            flow_d, conf_d, log_conf_d = pending_flow
-            # dispatch the NEXT frame's flow before any host sync
+            flow_d, conf_d, _ = pending_flow
+            # dispatch the NEXT frame's flow before any further work
             pending_flow = None
             if nxt is not None and not nxt[1]:
                 pending_flow = dispatch_flow(reference_frame, nxt[0])
-            flow = np.asarray(flow_d[0])
-            conf = np.asarray(conf_d[0])
-            log_conf = np.asarray(log_conf_d[0])
-            warped_ai = np.asarray(warp_frame(
-                jnp.asarray(reference_ai_frame.astype(np.float32)),
-                jnp.asarray(flow)))
-            warped_ai = np.clip(warped_ai, 0, 255).astype(np.uint8)
-            mask_u8, log_conf = generate_mask(conf, log_conf,
-                                              cfg.confidence_thres,
-                                              cfg.mask_dilate)
-            raw_ai_frame, _ = run_inpainting(sd_inpaint, tagger, warped_ai,
-                                             frame_bgr, mask_u8, cfg)
-            ai_frame = mix_propagated_ai_frame(
-                raw_ai_frame, warped_ai, mask_u8,
-                cfg.propagated_pixel_weight)
+
+            # --- device-resident hot path: warp + mask + inpaint stay
+            # on the accelerator; the host sees only the prompt (raw
+            # frame, already host-side) and the final PNG pull. The
+            # reference round-trips through cv2/numpy 6x per frame
+            # (SURVEY §3.1 boundary notes).
+            if reference_ai_d is None:
+                reference_ai_d = jnp.asarray(
+                    reference_ai_frame.astype(np.float32))
+            warped_d = jnp.clip(warp_frame(reference_ai_d, flow_d[0]),
+                                0.0, 255.0)
+            mask01_d = dilate(
+                (conf_d[0] < cfg.confidence_thres).astype(jnp.float32),
+                ellipse_kernel(cfg.mask_dilate))
+
+            prompt = _prompt_for(tagger, frame_bgr, cfg.prompt_extra)
+            img_out, _, _, _ = F.img2img_inpaint(
+                sd_inpaint,
+                image=bgr_f32d_to_model(warped_d),
+                c_text=prompt, uc_text=NEGATIVE_PROMPT,
+                denoising_strength=cfg.denoising_strength,
+                ddim_steps=cfg.ddim_steps,
+                reference_img=bgr_u8_to_model(frame_bgr),
+                mask=mask01_d, mask_blur=cfg.mask_blur,
+                guidance_schedule_func=cfg.guidance_schedule_func,
+                seed=cfg.seed)
+            raw_ai_d = model_to_bgr_f32d(img_out)
+            if cfg.propagated_pixel_weight >= 0.001:
+                # propagated-pixel mix (ofgen_pixel_inpaint.py:251-260)
+                w = jnp.where(mask01_d <= 0.5,
+                              cfg.propagated_pixel_weight,
+                              1.0 - cfg.propagated_pixel_weight)[..., None]
+                ai_d = raw_ai_d * (1.0 - w) + warped_d * w
+            else:
+                ai_d = raw_ai_d
+            # NOTE: the AI reference stays the keyframe's AI frame —
+            # warping is always keyframe->frame (ofgen_pixel_inpaint.py:338)
+            ai_frame = bgr_f32_to_u8(ai_d)
+
             if cfg.write_vis:
+                conf = np.asarray(conf_d[0])
                 conf_u8 = np.clip(conf * 255, 0, 255).astype(np.uint8)
                 write_png(f"{out_dir}/pixel_confidence_{counter:06d}.png",
                           conf_u8)
+                warped_ai = bgr_f32_to_u8(warped_d)
+                mask_u8 = (np.asarray(mask01_d) * 255).astype(np.uint8)
+                raw_ai_frame = bgr_f32_to_u8(raw_ai_d)
                 masked = warped_ai.copy()
                 masked[mask_u8 > 127] = np.array([0, 0, 255], np.uint8)
                 vis = np.concatenate([reference_frame, frame_bgr,

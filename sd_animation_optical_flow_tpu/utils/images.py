@@ -31,6 +31,24 @@ def rgb_u8(img) -> np.ndarray:
     return np.clip(arr * 127.5 + 127.5, 0, 255).astype(np.uint8)
 
 
+def bgr_f32d_to_model(img_bgr_d) -> jnp.ndarray:
+    """Device [H, W, 3] BGR float 0..255 -> [1, H, W, 3] RGB [-1, 1]
+    without leaving the device (streaming pixel pipeline)."""
+    return (img_bgr_d[..., ::-1] / 127.5 - 1.0)[None]
+
+
+def model_to_bgr_f32d(img) -> jnp.ndarray:
+    """Device [1, H, W, 3] RGB [-1, 1] -> [H, W, 3] BGR float 0..255,
+    still on device."""
+    return jnp.clip(img[0] * 127.5 + 127.5, 0.0, 255.0)[..., ::-1]
+
+
+def bgr_f32_to_u8(img_bgr_d) -> np.ndarray:
+    """Pull a device BGR float frame to a host uint8 image (the single
+    host sync per streamed frame)."""
+    return np.clip(np.asarray(img_bgr_d), 0, 255).astype(np.uint8)
+
+
 def write_png(path: str, img_bgr: np.ndarray):
     import cv2
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
