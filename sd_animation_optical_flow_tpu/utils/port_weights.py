@@ -405,3 +405,24 @@ def port_raft(sd: StateDict, prefix: str = "module.") -> tuple:
         },
     }
     return params, r.missing
+
+
+# ---------------------------------------------------------------------------
+# VQ first stage (first_stage_model.* with quantize.embedding)
+# ---------------------------------------------------------------------------
+
+def port_vq(sd: StateDict, cfg=None, prefix: str = "first_stage_model."
+            ) -> tuple:
+    """Port a VQModel first stage (reference: ldm/models/autoencoder.py:
+    12-123 key scheme — the KL layout plus ``quantize.embedding.weight``).
+
+    cfg: models.vq.VQConfig (backbone drives the encoder/decoder walk).
+    """
+    from ..models.vq import VQConfig
+    cfg = cfg or VQConfig()
+    params, missing = port_vae(sd, cfg.backbone, prefix)
+    r = _Reader(sd, prefix)
+    emb = r("quantize.embedding.weight")
+    params["quantize"] = {"embedding": _f32(emb) if emb is not None
+                          else None}
+    return params, missing + r.missing

@@ -163,3 +163,96 @@ def test_raft_port_structure(rng):
         assert pa == pb
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
                                    rtol=1e-6)
+
+
+def test_port_vq_roundtrip():
+    """Build a VQ state dict in torch layout from our own tiny params'
+    shapes and check the ported pytree matches structurally + the
+    codebook numerically."""
+    import jax
+    import jax.numpy as jnp
+    from sd_animation_optical_flow_tpu.models.vae import VAEConfig
+    from sd_animation_optical_flow_tpu.models import vq as VQ
+    from sd_animation_optical_flow_tpu.utils.port_weights import port_vq
+
+    bb = VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                   z_channels=3, embed_dim=3, double_z=False,
+                   scale_factor=1.0)
+    cfg = VQ.VQConfig(backbone=bb, n_embed=16, embed_dim=3)
+    ref = VQ.vq_init(jax.random.PRNGKey(0), cfg)
+
+    # serialize our params into the torch/ldm key layout
+    sd = {}
+
+    def put_conv(name, p):
+        sd[name + ".weight"] = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+        if "b" in p:
+            sd[name + ".bias"] = np.asarray(p["b"])
+
+    def put_norm(name, p):
+        sd[name + ".weight"] = np.asarray(p["scale"])
+        sd[name + ".bias"] = np.asarray(p["bias"])
+
+    def put_res(name, p):
+        put_norm(name + ".norm1", p["norm1"])
+        put_conv(name + ".conv1", p["conv1"])
+        put_norm(name + ".norm2", p["norm2"])
+        put_conv(name + ".conv2", p["conv2"])
+        if "nin_shortcut" in p:
+            put_conv(name + ".nin_shortcut", p["nin_shortcut"])
+
+    def put_attn(name, p):
+        put_norm(name + ".norm", p["norm"])
+        for k in ("q", "k", "v", "proj_out"):
+            put_conv(f"{name}.{k}", p[k])
+
+    pre = "first_stage_model."
+    enc = ref["encoder"]
+    put_conv(pre + "encoder.conv_in", enc["conv_in"])
+    for lvl, lp in enumerate(enc["down"]):
+        for b, blk in enumerate(lp["blocks"]):
+            put_res(pre + f"encoder.down.{lvl}.block.{b}", blk)
+        if "downsample" in lp:
+            put_conv(pre + f"encoder.down.{lvl}.downsample.conv",
+                     lp["downsample"])
+    for k in ("block_1", "block_2"):
+        put_res(pre + f"encoder.mid.{k}", enc["mid"][k])
+    put_attn(pre + "encoder.mid.attn_1", enc["mid"]["attn_1"])
+    put_norm(pre + "encoder.norm_out", enc["norm_out"])
+    put_conv(pre + "encoder.conv_out", enc["conv_out"])
+
+    dec = ref["decoder"]
+    put_conv(pre + "decoder.conv_in", dec["conv_in"])
+    for k in ("block_1", "block_2"):
+        put_res(pre + f"decoder.mid.{k}", dec["mid"][k])
+    put_attn(pre + "decoder.mid.attn_1", dec["mid"]["attn_1"])
+    n_lvl = len(bb.ch_mult)
+    # our decoder list is coarsest->finest; torch names finest = 0
+    for i, lp in enumerate(dec["up"]):
+        lvl = n_lvl - 1 - i
+        for b, blk in enumerate(lp["blocks"]):
+            put_res(pre + f"decoder.up.{lvl}.block.{b}", blk)
+        if "upsample" in lp:
+            put_conv(pre + f"decoder.up.{lvl}.upsample.conv", lp["upsample"])
+    put_norm(pre + "decoder.norm_out", dec["norm_out"])
+    put_conv(pre + "decoder.conv_out", dec["conv_out"])
+    put_conv(pre + "quant_conv", ref["quant_conv"])
+    put_conv(pre + "post_quant_conv", ref["post_quant_conv"])
+    sd[pre + "quantize.embedding.weight"] = np.asarray(
+        ref["quantize"]["embedding"])
+
+    ported, missing = port_vq(sd, cfg)
+    assert not missing, missing[:5]
+    # ported tree must reproduce the source tree exactly
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(ported)[0],
+            jax.tree_util.tree_flatten_with_path(ref)[0]):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pa))
+    # and produce identical model outputs
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    q1, _, i1 = VQ.vq_encode(ref, cfg, x)
+    q2, _, i2 = VQ.vq_encode(ported, cfg, x)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
