@@ -133,6 +133,56 @@ def cmd_keyframe_inpaint(args):
     print(f"[cli] wrote {out}")
 
 
+def cmd_depth2img(args):
+    """Single-image depth-conditioned img2img (LatentDepth2ImageDiffusion
+    surface; pipelines/specializations.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from . import config as C
+    from .models import depth as DP
+    from .pipelines import specializations as SP
+    from .utils.images import bgr_u8_to_model, model_to_bgr_u8, \
+        read_png_bgr, write_png
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    sd = C.create_model("sd15-depth", args.ckpt, dtype=dtype)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        dcfg = DP.DPTConfig()
+        dp_params = DP.dpt_init(jax.random.PRNGKey(0), dcfg)
+    if not args.ckpt:
+        print("[cli] no --ckpt: random weights (smoke mode)")
+    depth = SP.DepthConditioner(params=dp_params, cfg=dcfg)
+    img = bgr_u8_to_model(read_png_bgr(args.input))
+    out, _ = SP.img2img_depth2img(
+        sd, depth, img, args.prompt, args.negative_prompt,
+        denoising_strength=args.denoising_strength,
+        ddim_steps=args.ddim_steps, seed=args.seed)
+    write_png(args.output, model_to_bgr_u8(out))
+    print(f"[cli] wrote {args.output}")
+
+
+def cmd_upscale(args):
+    """Latent x4-style upscaling of one image
+    (LatentUpscaleDiffusion surface; pipelines/specializations.py)."""
+    import jax.numpy as jnp
+    from . import config as C
+    from .pipelines import specializations as SP
+    from .utils.images import bgr_u8_to_model, model_to_bgr_u8, \
+        read_png_bgr, write_png
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    sd = C.create_model("sd-upscale", args.ckpt, dtype=dtype)
+    if not args.ckpt:
+        print("[cli] no --ckpt: random weights (smoke mode)")
+    x_low = bgr_u8_to_model(read_png_bgr(args.input))
+    out, lvl = SP.upscale(sd, x_low, args.prompt, args.negative_prompt,
+                          noise_level=[args.noise_level]
+                          if args.noise_level is not None else None,
+                          ddim_steps=args.ddim_steps, seed=args.seed)
+    write_png(args.output, model_to_bgr_u8(out))
+    print(f"[cli] wrote {args.output} (noise level {int(lvl[0])})")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="sd_animation_optical_flow_tpu",
@@ -163,6 +213,27 @@ def main(argv=None):
                     choices=["warp_and_inpaint", "self_attn", "both",
                              "warp_and_inpaint_crossattn"])
     p3.set_defaults(fn=cmd_keyframe_inpaint)
+
+    def _add_single_image(p):
+        p.add_argument("-i", "--input", required=True, help="input image")
+        p.add_argument("-o", "--output", required=True, help="output png")
+        p.add_argument("--ckpt", default=None)
+        p.add_argument("--prompt", default="masterpiece,best quality")
+        p.add_argument("--negative-prompt", default="")
+        p.add_argument("--ddim-steps", type=int, default=50)
+        p.add_argument("--seed", type=int, default=1234)
+        p.add_argument("--bf16", action="store_true")
+
+    p4 = sub.add_parser("depth2img",
+                        help="depth-conditioned img2img (one image)")
+    _add_single_image(p4)
+    p4.add_argument("--denoising-strength", type=float, default=0.5)
+    p4.set_defaults(fn=cmd_depth2img)
+
+    p5 = sub.add_parser("upscale", help="latent upscaling (one image)")
+    _add_single_image(p5)
+    p5.add_argument("--noise-level", type=int, default=None)
+    p5.set_defaults(fn=cmd_upscale)
 
     args = parser.parse_args(argv)
     args.fn(args)

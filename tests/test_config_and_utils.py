@@ -76,6 +76,10 @@ def test_cli_parser_contract():
     import argparse
     with pytest.raises(SystemExit):
         main(["pixel-inpaint"])  # missing -i/-o like the reference CLI
+    for cmd in ("depth2img", "upscale"):
+        with pytest.raises(SystemExit) as e:
+            main([cmd, "--help"])
+        assert e.value.code == 0
 
 
 def _oracle(sched, x0):
