@@ -80,11 +80,18 @@ def ddim_decode(
     # --- ControlNet (controlnet.py:412-432 semantics) ---
     control_residuals=None,        # list over nets of 13-tuples (CFG batch)
     control_weights=None,          # [t_enc, n_nets]
+    tile_noise: bool = False,      # draw noise once, tile over batch
 ):
     """Run t_enc guided DDIM steps from x_latent. Returns final x0 latent.
 
     The decode walks ddim steps index t_enc-1 .. 0 (timesteps flipped),
     exactly the reference's `decode` loop (guided_ldm.py:133-158).
+
+    ``tile_noise``: draw each stochastic term with batch 1 and broadcast
+    over the batch — makes a batched call bit-replicate B independent
+    single-frame calls with the same fixed seed (the reference reseeds
+    1234 per frame, so every frame sees identical noise;
+    ofgen_pixel_inpaint.py:235-236).
     """
     if t_enc == 0:
         return x_latent
@@ -106,7 +113,9 @@ def ddim_decode(
         if use_inpaint:
             k_noise, key = jax.random.split(key)
             gate = renoise_gate[i] > 0
-            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            nshape = (1,) + x.shape[1:] if tile_noise else x.shape
+            noise = jnp.broadcast_to(
+                jax.random.normal(k_noise, nshape, x.dtype), x.shape)
             noised_init = q_sample(sched, init_latent, ts, noise)
             nm = nmask.astype(x.dtype)
             x = jnp.where(gate, (1.0 - nm) * noised_init + nm * x, x)
@@ -141,7 +150,9 @@ def ddim_decode(
 
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t ** 2, 0.0)) * e_t
         k_sig, _ = jax.random.split(key)
-        noise = sigma_t * jax.random.normal(k_sig, x.shape, x.dtype)
+        nshape = (1,) + x.shape[1:] if tile_noise else x.shape
+        noise = sigma_t * jnp.broadcast_to(
+            jax.random.normal(k_sig, nshape, x.dtype), x.shape)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
         return x_prev, None
 

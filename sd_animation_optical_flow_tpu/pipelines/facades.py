@@ -111,14 +111,14 @@ def _latent_hw(img_shape):
     static_argnames=("unet_cfg", "vae_cfg", "t_enc", "ddim_steps",
                      "parameterization", "cfg_scale", "capture_kv",
                      "use_inpaint", "use_guidance", "final_composite",
-                     "control_cfgs"))
+                     "control_cfgs", "tile_noise"))
 def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   init_latent, ctx_cond, ctx_uncond, c_concat,
                   guidance_latent, guidance_strength, nmask, renoise_gate,
                   ref_kv, rng, controls=None, control_weights=None, *,
                   t_enc, ddim_steps, parameterization,
                   cfg_scale, capture_kv, use_inpaint, use_guidance,
-                  final_composite, control_cfgs=()):
+                  final_composite, control_cfgs=(), tile_noise=False):
     """stochastic_encode -> scanned guided DDIM -> (final composite) ->
     VAE decode. One compiled program per static signature.
 
@@ -126,7 +126,11 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
     derived on-trace (pure gathers over schedule arrays)."""
     ddim = make_ddim_params_traced(sched, ddim_steps)
     k_noise, k_decode, k_kv = jax.random.split(rng, 3)
-    noise = jax.random.normal(k_noise, init_latent.shape, init_latent.dtype)
+    nshape = (1,) + init_latent.shape[1:] if tile_noise \
+        else init_latent.shape
+    noise = jnp.broadcast_to(
+        jax.random.normal(k_noise, nshape, init_latent.dtype),
+        init_latent.shape)
     x1 = D.stochastic_encode(ddim, init_latent, t_enc, noise)
 
     def model_fn(x, t, ctx, control=None):
@@ -162,7 +166,8 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
         nmask=nmask if use_inpaint else None,
         renoise_gate=renoise_gate if use_inpaint else None,
         control_residuals=control_residuals,
-        control_weights=control_weights)
+        control_weights=control_weights,
+        tile_noise=tile_noise)
 
     if final_composite and nmask is not None:
         decoded = init_latent * (1.0 - nmask) + decoded * nmask
@@ -398,3 +403,91 @@ def img2img_latent_inpaint(sd: StableDiffusionBundle, warped_latent,
         decoded = warped_latent * (1.0 - nmask) + decoded * nmask
         out = jnp.clip(sd.decode_latent(decoded), -1, 1)
     return out, decoded, init_latent_decoded, kv
+
+
+# ---------------------------------------------------------------------------
+# batched inpainting (TPU throughput shape)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _vae_encode_tiled_jit(params, cfg, img, rng):
+    """Posterior sample with the noise drawn once and tiled over the
+    batch — bit-replicates B fixed-seed single-frame encodes."""
+    from ..models import vae as V
+    mean, logvar = V.encode_moments(params, cfg, img)
+    std = jnp.exp(0.5 * logvar)
+    noise = jnp.broadcast_to(
+        jax.random.normal(rng, (1,) + mean.shape[1:], mean.dtype),
+        mean.shape)
+    return (mean + std * noise) * cfg.scale_factor
+
+
+def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
+                          uc_text: str, masks, reference_imgs,
+                          denoising_strength: float = 0.05,
+                          ddim_steps: int = 50, mask_blur: int = 16,
+                          guidance_schedule_func=None,
+                          cfg_scale: float = 7.0, seed: int = 1234):
+    """B independent masked-inpainting frames in ONE compiled program.
+
+    TPU-first throughput design with no reference counterpart: inside a
+    keyframe segment every non-key frame depends only on the keyframe,
+    so frames batch trivially; batch=B multiplies MXU utilization of the
+    whole denoise scan. Randomness is drawn once and tiled over the
+    batch, so outputs are bitwise-equal to B sequential
+    ``img2img_inpaint`` calls with the same fixed seed (the reference
+    reseeds 1234 per frame, ofgen_pixel_inpaint.py:235-236).
+
+    images/reference_imgs: [B, H, W, 3] in [-1, 1]; masks [B, H, W] in
+    {0, 1}; c_texts: list of B prompts. Returns images [B, H, W, 3].
+    """
+    b = images.shape[0]
+    assert len(c_texts) == b
+    rng = jax.random.PRNGKey(seed)
+    # split exactly like img2img_inpaint (k_rand unused here) so a
+    # batched call bit-matches B sequential fixed-seed calls
+    k_enc, k_cdt, _k_rand, k_core = jax.random.split(rng, 4)
+    ctx_c = jnp.concatenate(
+        [sd.get_learned_conditioning(t) for t in c_texts], axis=0)
+    ctx_u = jnp.tile(sd.get_learned_conditioning(uc_text), (b, 1, 1))
+
+    mask01 = jnp.asarray(masks, jnp.float32)
+    if mask_blur > 0:
+        image_mask = jax.vmap(
+            lambda m: gaussian_blur(m, float(mask_blur)))(mask01)
+    else:
+        image_mask = mask01
+    image_mask = jnp.clip(image_mask, 0.0, 1.0)
+    m4 = image_mask[..., None]
+    composited = images * (1.0 - m4) + reference_imgs * m4
+
+    init_latent = _vae_encode_tiled_jit(sd.vae_params, sd.vae_cfg,
+                                        composited.astype(sd.dtype), k_enc)
+    h, w = init_latent.shape[1:3]
+    nmask = jnp.round(resize(m4, (h, w), "linear"))
+
+    # 5-ch inpaint conditioning, batched (guided_ldm_inpainting.py:139-154)
+    cmask = jnp.round(image_mask)[..., None]
+    cond_latent = _vae_encode_tiled_jit(
+        sd.vae_params, sd.vae_cfg,
+        (composited * (1.0 - cmask)).astype(sd.dtype), k_cdt)
+    cmask_lat = resize(cmask, (h, w), "nearest")
+    c_concat = jnp.concatenate([cmask_lat, cond_latent], axis=-1)
+
+    t_enc = _t_enc(denoising_strength, ddim_steps)
+    ps = D.guidance_progress(t_enc, ddim_steps)
+    fn = guidance_schedule_func or (lambda p: 0.1)
+    gates = jnp.asarray([float(fn(p)) for p in ps], jnp.float32) \
+        if t_enc > 0 else jnp.zeros((1,), jnp.float32)
+    last_gs = float(gates[-1]) if t_enc > 0 else 1.0
+
+    out, _, _ = _img2img_core(
+        sd.unet_params, sd.unet_cfg, sd.vae_params, sd.vae_cfg, sd.sched,
+        init_latent, ctx_c, ctx_u, c_concat, jnp.zeros_like(init_latent),
+        jnp.zeros((max(t_enc, 1), 1, 1, 1, 1), jnp.float32),
+        nmask, gates, None, k_core, None, None,
+        t_enc=t_enc, ddim_steps=ddim_steps,
+        parameterization=sd.parameterization, cfg_scale=cfg_scale,
+        capture_kv=False, use_inpaint=True, use_guidance=False,
+        final_composite=last_gs > 0, tile_noise=True)
+    return out

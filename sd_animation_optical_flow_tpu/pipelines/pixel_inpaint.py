@@ -50,6 +50,11 @@ class PixelInpaintConfig:
     prompt_extra: str = ""
     write_vis: bool = True
     guidance_schedule_func: Callable[[float], float] = lambda p: 1.0
+    # >1 batches non-key frames of a keyframe segment through ONE
+    # compiled flow/warp/mask/inpaint program (frames in a segment are
+    # independent; outputs stay bitwise-equal to sequential fixed-seed
+    # runs via noise tiling). TPU throughput knob; use run_batched().
+    frame_batch: int = 1
 
 
 def generate_mask(cum_confidence: np.ndarray, log_confidence: np.ndarray,
@@ -252,3 +257,110 @@ def run_video(video_path: str, save_dir: str, sd, sd_inpaint,
         size=cfg.size, keep_every=cfg.keep_every,
         threshold=cfg.key_frame_thres))
     return run(frames, save_dir, sd, sd_inpaint, flow_estimator, tagger, cfg)
+
+
+# ---------------------------------------------------------------------------
+# batched segment mode (TPU throughput shape; no reference counterpart)
+# ---------------------------------------------------------------------------
+
+def _process_batch(batch, out_dir, reference_frame, reference_ai_frame,
+                   sd_inpaint, flow_estimator, tagger, cfg):
+    """Run a list of [(frame_bgr, counter)] non-key frames of one
+    keyframe segment as a single batched program chain: batched flow ->
+    vmapped warp + mask -> img2img_inpaint_batch -> per-frame PNGs."""
+    import jax
+
+    b = len(batch)
+    frames = np.stack([f for f, _ in batch])
+    src = np.broadcast_to(reference_frame[None, ..., ::-1],
+                          frames.shape).astype(np.float32)
+    flow_d, conf_d, _ = flow_estimator.calc_batch_device(
+        src, frames[..., ::-1].astype(np.float32))
+
+    ref_ai_d = jnp.asarray(reference_ai_frame.astype(np.float32))
+    warped_d = jnp.clip(
+        jax.vmap(lambda fl: warp_frame(ref_ai_d, fl))(flow_d),
+        0.0, 255.0)                                          # [B,H,W,3] BGR
+    mask01_d = jax.vmap(lambda c: dilate(
+        (c < cfg.confidence_thres).astype(jnp.float32),
+        ellipse_kernel(cfg.mask_dilate)))(conf_d)            # [B,H,W]
+
+    prompts = [_prompt_for(tagger, f, cfg.prompt_extra) for f, _ in batch]
+    imgs_model = warped_d[..., ::-1] / 127.5 - 1.0
+    refs_model = jnp.asarray(
+        frames[..., ::-1].astype(np.float32)) / 127.5 - 1.0
+    outs = F.img2img_inpaint_batch(
+        sd_inpaint, imgs_model, prompts, NEGATIVE_PROMPT, mask01_d,
+        refs_model, denoising_strength=cfg.denoising_strength,
+        ddim_steps=cfg.ddim_steps, mask_blur=cfg.mask_blur,
+        guidance_schedule_func=cfg.guidance_schedule_func, seed=cfg.seed)
+    outs_bgr = jnp.clip(outs * 127.5 + 127.5, 0, 255)[..., ::-1]
+
+    if cfg.propagated_pixel_weight >= 0.001:
+        w = jnp.where(mask01_d <= 0.5, cfg.propagated_pixel_weight,
+                      1.0 - cfg.propagated_pixel_weight)[..., None]
+        outs_bgr = outs_bgr * (1.0 - w) + warped_d * w
+
+    outs_u8 = np.clip(np.asarray(outs_bgr), 0, 255).astype(np.uint8)
+    for i, (frame_bgr, counter) in enumerate(batch):
+        write_png(f"{out_dir}/converted_{counter:06d}.png", outs_u8[i])
+        if cfg.write_vis:
+            conf_u8 = np.clip(np.asarray(conf_d[i]) * 255, 0,
+                              255).astype(np.uint8)
+            write_png(f"{out_dir}/pixel_confidence_{counter:06d}.png",
+                      conf_u8)
+            warped_u8 = bgr_f32_to_u8(warped_d[i])
+            mask_u8 = (np.asarray(mask01_d[i]) * 255).astype(np.uint8)
+            masked = warped_u8.copy()
+            masked[mask_u8 > 127] = np.array([0, 0, 255], np.uint8)
+            vis = np.concatenate([reference_frame, frame_bgr, outs_u8[i],
+                                  outs_u8[i], warped_u8, masked], axis=1)
+            write_png(f"{out_dir}/vis_{counter:06d}.png", vis)
+
+
+def run_batched(frames: Iterable[Tuple[np.ndarray, bool, int]],
+                save_dir: str,
+                sd: F.StableDiffusionBundle,
+                sd_inpaint: F.StableDiffusionBundle,
+                flow_estimator: FlowConfidenceEstimator,
+                tagger: Optional[Tagger] = None,
+                cfg: PixelInpaintConfig = PixelInpaintConfig()):
+    """Segment-batched variant of :func:`run`: non-key frames are
+    grouped into ``cfg.frame_batch``-sized batches (all warped from the
+    same AI keyframe, so they are independent) and denoised together.
+    Output contract and per-frame values match :func:`run` exactly."""
+    out_dir = f"{save_dir}_pixel_warp-{cfg.name}"
+    os.makedirs(out_dir, exist_ok=True)
+    bsz = max(cfg.frame_batch, 1)
+
+    reference_frame = None
+    reference_ai_frame = None
+    pending: list = []
+
+    def flush():
+        nonlocal pending
+        if pending:
+            _process_batch(pending, out_dir, reference_frame,
+                           reference_ai_frame, sd_inpaint, flow_estimator,
+                           tagger, cfg)
+            pending = []
+
+    for frame_bgr, is_key, counter in frames:
+        if is_key:
+            flush()
+            ai_frame = keyframe_img2img(sd, tagger, frame_bgr, cfg)
+            reference_frame = frame_bgr
+            reference_ai_frame = ai_frame
+            write_png(f"{out_dir}/converted_{counter:06d}.png", ai_frame)
+            if cfg.write_vis:
+                vis = np.concatenate([frame_bgr, frame_bgr, ai_frame,
+                                      ai_frame, frame_bgr, ai_frame], axis=1)
+                write_png(f"{out_dir}/vis_{counter:06d}.png", vis)
+                write_png(f"{out_dir}/pixel_confidence_{counter:06d}.png",
+                          np.ones(frame_bgr.shape[:2], np.uint8))
+        else:
+            pending.append((frame_bgr, counter))
+            if len(pending) >= bsz:
+                flush()
+    flush()
+    return out_dir

@@ -167,3 +167,60 @@ def test_mix_propagated_weights():
     assert (out == 200).all()               # unmasked -> propagated pixels
     out0 = PI.mix_propagated_ai_frame(raw, warped, mask, weight=0.0)
     assert (out0 == 100).all()              # weight 0 -> raw frame
+
+
+def test_img2img_inpaint_batch_matches_sequential(bundles):
+    """The batched facade must reproduce B sequential fixed-seed calls
+    (noise tiling + identical key splits)."""
+    _, sd9 = bundles
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32)) * 2 - 1
+    refs = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32)) * 2 - 1
+    masks = np.zeros((2, 32, 32), np.float32)
+    masks[0, 8:20, 4:28] = 1.0
+    masks[1, 2:10, 2:30] = 1.0
+    prompts = ["a girl", "a boy"]
+
+    batched = F.img2img_inpaint_batch(
+        sd9, imgs, prompts, "bad", jnp.asarray(masks), refs,
+        denoising_strength=0.3, ddim_steps=10, mask_blur=4, seed=1234)
+
+    for i in range(2):
+        out_i, _, _, _ = F.img2img_inpaint(
+            sd9, imgs[i:i + 1], prompts[i], "bad",
+            denoising_strength=0.3, ddim_steps=10,
+            reference_img=refs[i:i + 1], mask=jnp.asarray(masks[i]),
+            mask_blur=4, seed=1234)
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(out_i[0]), atol=2e-5,
+                                   err_msg=f"frame {i}")
+
+
+def test_run_batched_matches_run(bundles, tmp_path):
+    """Segment-batched pipeline writes the same converted frames as the
+    sequential pipeline."""
+    import cv2
+    sd, sd9 = bundles
+    rng = jax.random.PRNGKey(11)
+    fcfg = FC.FlowConfidenceConfig(
+        raft=RF.RAFTConfig(iters=2, corr_levels=2, corr_radius=2))
+    flow_est = FC.FlowConfidenceEstimator(RF.raft_init(rng, fcfg.raft), fcfg)
+    frames = _synthetic_frames()
+    cfg = PI.PixelInpaintConfig(size=(64, 64), keep_every=1,
+                                denoising_strength=0.3, ddim_steps=10,
+                                write_vis=False, frame_batch=2)
+    mk_gen = lambda: array_frame_generator(frames, FrameGenConfig(
+        size=cfg.size, keep_every=1, threshold=cfg.key_frame_thres))
+    d_seq = PI.run(mk_gen(), str(tmp_path / "seq"), sd, sd9, flow_est,
+                   None, cfg)
+    d_bat = PI.run_batched(mk_gen(), str(tmp_path / "bat"), sd, sd9,
+                           flow_est, None, cfg)
+    names = sorted(p for p in os.listdir(d_seq)
+                   if p.startswith("converted_"))
+    assert names == sorted(p for p in os.listdir(d_bat)
+                           if p.startswith("converted_"))
+    for n in names:
+        a = cv2.imread(os.path.join(d_seq, n)).astype(np.int16)
+        b = cv2.imread(os.path.join(d_bat, n)).astype(np.int16)
+        # identical math modulo one uint8 rounding step
+        assert np.abs(a - b).max() <= 1, n
