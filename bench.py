@@ -230,9 +230,28 @@ def main():
                 best_fps, best_batch = fps, batch
         except Exception as e:  # noqa: BLE001 — report what we have
             print(f"# bench batch={batch} failed: {e}", file=sys.stderr)
+    if best_fps == 0.0:
+        # every fused-program batch failed (flaky remote-compile tunnel):
+        # fall back to the known-good step mode so the run still yields a
+        # real measurement instead of a zero
+        print("# loop mode yielded nothing; falling back to step mode",
+              file=sys.stderr, flush=True)
+        for batch in (1, 4):
+            try:
+                fps = bench_step_mode(unet_p, ucfg, dtype, batch)
+                if fps > best_fps:
+                    best_fps, best_batch = fps, batch
+            except Exception as e:  # noqa: BLE001
+                print(f"# step-mode batch {batch} failed: {e}",
+                      file=sys.stderr, flush=True)
+        metric = ("stabilized 512x768 frames/s/chip (derived from measured "
+                  f"CFG UNet step x{T_ENC} + 5% VAE, bf16, "
+                  f"batch={best_batch}, {backend})")
+    else:
+        metric = ("stabilized 512x768 frames/s/chip (20-step img2img, "
+                  f"CFG 7, bf16, batch={best_batch}, {backend})")
     print(json.dumps({
-        "metric": "stabilized 512x768 frames/s/chip (20-step img2img, "
-                  f"CFG 7, bf16, batch={best_batch}, {backend})",
+        "metric": metric,
         "value": round(best_fps, 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(best_fps / NORTH_STAR_FPS, 4),
