@@ -81,9 +81,17 @@ def cmd_pixel_inpaint(args):
         confidence_thres=args.confidence_thres,
         propagated_pixel_weight=args.propagated_pixel_weight,
         ddim_steps=args.ddim_steps, seed=args.seed,
-        prompt_extra=args.prompt_extra)
-    out = PI.run_video(args.input, args.output, sd, sd9, flow_est, tagger,
-                       cfg)
+        prompt_extra=args.prompt_extra, frame_batch=args.frame_batch)
+    if cfg.frame_batch > 1:
+        from .pipelines.keyframes import FrameGenConfig, frame_generator
+        gen = frame_generator(args.input, FrameGenConfig(
+            size=cfg.size, keep_every=cfg.keep_every,
+            threshold=cfg.key_frame_thres))
+        out = PI.run_batched(gen, args.output, sd, sd9, flow_est, tagger,
+                             cfg)
+    else:
+        out = PI.run_video(args.input, args.output, sd, sd9, flow_est,
+                           tagger, cfg)
     print(f"[cli] wrote {out}")
 
 
@@ -196,6 +204,9 @@ def main(argv=None):
     p1.add_argument("--key-frame-thres", type=float, default=24.0)
     p1.add_argument("--confidence-thres", type=float, default=0.95)
     p1.add_argument("--propagated-pixel-weight", type=float, default=0.0)
+    p1.add_argument("--frame-batch", type=int, default=1,
+                    help=">1: batch non-key frames of a segment through "
+                         "one compiled program (TPU throughput)")
     p1.set_defaults(fn=cmd_pixel_inpaint)
 
     p2 = sub.add_parser("ofgen", help="warp-as-guidance pipeline")
