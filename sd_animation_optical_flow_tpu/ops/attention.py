@@ -85,6 +85,63 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+def _flash_banded_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                         *, scale, block_q, block_k, kv_len,
+                         h, w, radius, weight, sigma, base):
+    """Flash attention with the banded strip bias computed ANALYTICALLY
+    in-kernel from (query, key) positions — the block-sparse form of the
+    reference's Gaussian-decay band bias (attention.py:243-310). At strip
+    scale the materialized bias is O(N * n_frames*N) HBM (hundreds of MB
+    at 512x768); here it costs a few iota/VPU ops per tile instead.
+
+    Query q -> pixel (q//w, q%w); key kk -> within-frame (kk % (h*w)),
+    then the same 2D split. bias = weight*exp(-dist/sigma) inside the
+    |dy|,|dx| <= radius band, ``base`` outside."""
+    q_idx = pl.program_id(1)
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    q_pos = q_idx * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, dimension=0)
+    k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, dimension=1)
+    k_mod = k_pos % (h * w)                       # frame-local key index
+    dy = q_pos // w - k_mod // w
+    dx = q_pos % w - k_mod % w
+    dist = jnp.sqrt((dy * dy + dx * dx).astype(jnp.float32))
+    in_band = (jnp.abs(dy) <= radius) & (jnp.abs(dx) <= radius)
+    bias = jnp.where(in_band, weight * jnp.exp(-dist / sigma), base)
+    s = s + bias
+    s = jnp.where(k_pos < kv_len, s, -jnp.inf)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -140,6 +197,61 @@ def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q,
     )(qf, kf, vf)
 
     out = out[:, :nq, :].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "radius", "weight", "sigma", "base", "block_q", "block_k"))
+def flash_attention_banded(q, k, v, *, h: int, w: int, radius: int = 8,
+                           weight: float = 0.0, sigma: float = 1.6,
+                           base: float = -1000.0,
+                           block_q: int = DEFAULT_BLOCK_Q,
+                           block_k: int = DEFAULT_BLOCK_K):
+    """Flash attention whose bias IS the banded strip bias
+    (banded_strip_bias semantics) computed analytically per tile —
+    O(N)-memory multi-frame strip attention with no bias tensor in HBM.
+
+    q [B, h*w, H, D] (the target tile's tokens); k/v
+    [B, n_frames*h*w, H, D] (all strip frames' tokens).
+    """
+    b, nq, heads, d = q.shape
+    nk = k.shape[1]
+    assert nq == h * w, "query length must equal one tile (h*w)"
+    assert nk % (h * w) == 0, "key length must be whole strip tiles"
+    scale = 1.0 / math.sqrt(d)
+    block_q = min(block_q, max(nq, 8))
+    block_k = min(block_k, max(nk, 8))
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * heads, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
+    nq_p = pl.cdiv(nq, block_q) * block_q
+    nk_p = pl.cdiv(nk, block_k) * block_k
+    qf = _pad_to(qf, nq_p, 1)
+    kf = _pad_to(kf, nk_p, 1)
+    vf = _pad_to(vf, nk_p, 1)
+
+    grid = (b * heads, nq_p // block_q, nk_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_banded_kernel, scale=scale,
+                          block_q=block_q, block_k=block_k, kv_len=nk,
+                          h=h, w=w, radius=radius, weight=weight,
+                          sigma=sigma, base=base),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * heads, nq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(qf, kf, vf)
+    out = out[:, :nq, :].reshape(b, heads, nq, d).transpose(0, 2, 1, 3)
     return out
 
 

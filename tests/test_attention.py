@@ -81,3 +81,30 @@ def test_sliced_attention_matches_xla(rng):
     ref2 = xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                atol=1e-5)
+
+
+def test_flash_banded_matches_xla_with_materialized_bias(np_rng):
+    """The in-kernel analytic band must equal xla_attention with the
+    materialized banded_strip_bias (interpret mode on CPU)."""
+    h, w, n = 8, 16, 2          # strip of 2 frames, 128 query tokens
+    q, k, v = _rand_qkv(np_rng, b=1, nq=h * w, nk=n * h * w, h=2, d=32)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    bias = A.banded_strip_bias(h, w, n, radius=3, weight=0.7, sigma=1.6)
+    ref = A.xla_attention(qj, kj, vj, bias=bias[None, None])
+    import functools
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        out = A.flash_attention_banded(qj, kj, vj, h=h, w=w, radius=3,
+                                       weight=0.7, sigma=1.6,
+                                       block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_banded_guards():
+    q = jnp.zeros((1, 12, 2, 8))
+    k = jnp.zeros((1, 25, 2, 8))   # not a multiple of h*w
+    with np.testing.assert_raises(AssertionError):
+        A.flash_attention_banded(q, k, k, h=3, w=4)
