@@ -337,11 +337,14 @@ def coords_grid(n, h, w):
 
 
 def raft_apply(params, cfg: RAFTConfig, image1, image2, *,
-               iters: int | None = None, flow_init=None):
+               iters: int | None = None, flow_init=None,
+               all_iters: bool = False):
     """image1/image2 [N, H, W, 3] RGB in [0, 255] (H, W multiples of 8).
 
     Returns (flow_low [N,H/8,W/8,2], flow_up [N,H,W,2]) — the reference's
-    test_mode contract (raft.py:141-142).
+    test_mode contract (raft.py:141-142). With ``all_iters`` both returns
+    carry a leading iterations axis (the training-mode flow_predictions
+    list, raft.py:122-139), for the sequence loss.
     """
     iters = iters or cfg.iters
     img1 = 2.0 * (image1 / 255.0) - 1.0
@@ -388,12 +391,22 @@ def raft_apply(params, cfg: RAFTConfig, image1, image2, *,
         corr = corr_fn(coords1)
         flow = coords1 - coords0
         net2, up_mask, delta = upd(params["update"], net, inp, corr, flow)
-        out = up_mask if up_mask is not None else jnp.zeros((), img1.dtype)
-        return (net2, coords1 + delta), out
+        new_coords = coords1 + delta
+        out_mask = up_mask if up_mask is not None \
+            else jnp.zeros((), img1.dtype)
+        return (net2, new_coords), (new_coords - coords0, out_mask)
 
-    (net, coords1), up_masks = jax.lax.scan(step, (net, coords1), None,
-                                            length=iters)
+    (net, coords1), (flows_low, up_masks) = jax.lax.scan(
+        step, (net, coords1), None, length=iters)
     flow_low = coords1 - coords0
+    if all_iters:
+        # per-iteration upsampled predictions for the sequence loss
+        # (RAFT training contract: flow_predictions list, raft.py:122-139)
+        if cfg.small:
+            flows_up = jax.vmap(upflow8)(flows_low)
+        else:
+            flows_up = jax.vmap(upsample_flow_convex)(flows_low, up_masks)
+        return flows_low, flows_up
     if cfg.small:
         flow_up = upflow8(flow_low)
     else:
