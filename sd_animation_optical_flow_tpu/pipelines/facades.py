@@ -22,14 +22,13 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..diffusion import ddim as D
-from ..diffusion.schedule import (DiffusionSchedule, make_ddim_params,
+from ..diffusion.schedule import (DiffusionSchedule,
                                   make_ddim_params_traced,
                                   make_linear_schedule)
 from ..models import clip as CL

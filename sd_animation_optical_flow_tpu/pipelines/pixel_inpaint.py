@@ -17,7 +17,7 @@ Outputs keep the reference contract: ``converted_%06d.png``,
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Iterable, Optional, Tuple
 
 import jax.numpy as jnp
