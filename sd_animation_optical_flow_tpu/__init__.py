@@ -1,18 +1,52 @@
-"""sd_animation_optical_flow_tpu — TPU-native flow-guided animation framework.
+"""sd_animation_optical_flow_tpu — TPU-native flow-guided SD animation.
 
-A from-scratch JAX/XLA/Pallas re-design of the capabilities of
-zyddnys/sd_animation_optical_flow (reference mounted at /root/reference):
-video -> keyframe detection -> SD-1.5 img2img keyframes -> dense optical
-flow + per-pixel confidence -> warp -> confidence-masked SD inpainting,
-with ControlNet guidance and cross-frame self-attention K/V reuse.
+Public surface (lazy imports so ``import sd_animation_optical_flow_tpu``
+stays cheap and jax-initialization-free):
 
-Design principles (TPU-first, not a port):
-  * NHWC layouts everywhere; convs/matmuls sized for the MXU.
-  * Pure-functional models: params are pytrees, forwards are jit/scan-safe.
-  * Denoise loops are `lax.scan`s over precomputed per-step schedule arrays.
-  * K/V capture/injection is explicit data flow (fixed-shape pytrees), not
-    mutation (reference: ldm/modules/attention.py:353-369, openaimodel.py:79-90).
-  * Scale-out via jax.sharding.Mesh + shard_map collectives, never host loops.
+  create_model / load_spec      — config-driven model construction
+                                  (the instantiate_from_config analog)
+  img2img / img2img_inpaint / img2img_latent_inpaint /
+  img2img_inpaint_batch         — GuidedLDM facades
+  img2img_depth2img / upscale   — LatentDiffusion specializations
+  run_pixel_inpaint             — the README main pipeline
 """
 
-__version__ = "0.1.0"
+_LAZY = {
+    "create_model": ("sd_animation_optical_flow_tpu.config", "create_model"),
+    "load_spec": ("sd_animation_optical_flow_tpu.config", "load_spec"),
+    "BundleSpec": ("sd_animation_optical_flow_tpu.config", "BundleSpec"),
+    "StableDiffusionBundle": (
+        "sd_animation_optical_flow_tpu.pipelines.facades",
+        "StableDiffusionBundle"),
+    "img2img": ("sd_animation_optical_flow_tpu.pipelines.facades",
+                "img2img"),
+    "img2img_inpaint": ("sd_animation_optical_flow_tpu.pipelines.facades",
+                        "img2img_inpaint"),
+    "img2img_latent_inpaint": (
+        "sd_animation_optical_flow_tpu.pipelines.facades",
+        "img2img_latent_inpaint"),
+    "img2img_inpaint_batch": (
+        "sd_animation_optical_flow_tpu.pipelines.facades",
+        "img2img_inpaint_batch"),
+    "img2img_depth2img": (
+        "sd_animation_optical_flow_tpu.pipelines.specializations",
+        "img2img_depth2img"),
+    "upscale": ("sd_animation_optical_flow_tpu.pipelines.specializations",
+                "upscale"),
+    "run_pixel_inpaint": (
+        "sd_animation_optical_flow_tpu.pipelines.pixel_inpaint", "run"),
+}
+
+__all__ = sorted(_LAZY)
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY))
