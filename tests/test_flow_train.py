@@ -72,3 +72,27 @@ def test_flow_train_step_learns(rng):
     assert int(st.step) == 6
     assert np.isfinite(losses).all()
     assert min(losses[3:]) < losses[0]
+
+
+def test_flow_evaluate_on_synthetic_dataset(rng, tmp_path, np_rng):
+    from PIL import Image
+    from sd_animation_optical_flow_tpu.training import flow_data as FD
+    from sd_animation_optical_flow_tpu.training import flow_eval as FE
+    from sd_animation_optical_flow_tpu.utils.flow_io import write_flo
+
+    root = tmp_path / "chairs"
+    root.mkdir()
+    for i in range(2):
+        a = (np_rng.random((40, 56, 3)) * 255).astype(np.uint8)
+        Image.fromarray(a).save(root / f"{i:05d}_img1.ppm")
+        Image.fromarray(a).save(root / f"{i:05d}_img2.ppm")
+        write_flo(str(root / f"{i:05d}_flow.flo"),
+                  np.zeros((40, 56, 2), np.float32))
+    ds = FD.flying_chairs(str(root))
+    cfg = _tiny_cfg()
+    params = RF.raft_init(rng, cfg)
+    m = FE.evaluate(params, cfg, ds, iters=2)
+    assert set(m) == {"epe", "1px", "3px", "5px", "n"}
+    assert m["n"] == 2.0
+    assert np.isfinite(m["epe"])
+    assert 0.0 <= m["1px"] <= 1.0
