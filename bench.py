@@ -66,7 +66,10 @@ def make_frame_step(unet_p, ucfg, vae_p, vcfg):
 
     sched = make_linear_schedule()
 
-    def frame_step(img, ctx_c, ctx_u, rng):
+    # params travel as explicit jit arguments: closure constants would be
+    # baked into the lowered HLO and shipped (GBs) through the remote
+    # compile tunnel on every compile (same rule as __graft_entry__.entry)
+    def frame_step(unet_p, vae_p, img, ctx_c, ctx_u, rng):
         lat = V.encode(vae_p, vcfg, img, rng=rng, sample=True)
         ddim = make_ddim_params_traced(sched, DDIM_STEPS)
         noise = jax.random.normal(rng, lat.shape, lat.dtype)
@@ -81,7 +84,9 @@ def make_frame_step(unet_p, ucfg, vae_p, vcfg):
                             T_ENC, cfg_scale=7.0, rng=rng)
         return jnp.clip(V.decode(vae_p, vcfg, out), -1, 1)
 
-    return jax.jit(frame_step)
+    jitted = jax.jit(frame_step)
+    return lambda img, ctx_c, ctx_u, rng: jitted(unet_p, vae_p, img,
+                                                 ctx_c, ctx_u, rng)
 
 
 def make_frame_step_loop(unet_p, ucfg, vae_p, vcfg):
@@ -107,35 +112,37 @@ def make_frame_step_loop(unet_p, ucfg, vae_p, vcfg):
     h_ap = np.asarray(ddim.alphas_prev)
     h_s1m = np.asarray(ddim.sqrt_one_minus_alphas)
 
+    # params as explicit jit args (see make_frame_step note): keeps the
+    # remote-compile payload small instead of baking GBs of constants
     @jax.jit
-    def encode(img, rng):
-        lat = V.encode(vae_p, vcfg, img, rng=rng, sample=True)
+    def encode(vp, img, rng):
+        lat = V.encode(vp, vcfg, img, rng=rng, sample=True)
         noise = jax.random.normal(rng, lat.shape, lat.dtype)
         return D.stochastic_encode(ddim, lat, T_ENC, noise)
 
     @jax.jit
-    def cfg_step(x, ts, a_t, a_prev, s1m, ctx2):
+    def cfg_step(up, x, ts, a_t, a_prev, s1m, ctx2):
         x_in = jnp.concatenate([x, x], axis=0)
         t_in = jnp.concatenate([ts, ts], axis=0)
-        out, _ = U.unet_apply(unet_p, ucfg, x_in, t_in, ctx2)
+        out, _ = U.unet_apply(up, ucfg, x_in, t_in, ctx2)
         e_u, e_c = jnp.split(out, 2, axis=0)
         e_t = e_u + 7.0 * (e_c - e_u)
         pred_x0 = (x - s1m * e_t) / jnp.sqrt(a_t)
         return jnp.sqrt(a_prev) * pred_x0 + jnp.sqrt(1 - a_prev) * e_t
 
     @jax.jit
-    def decode(lat):
-        return jnp.clip(V.decode(vae_p, vcfg, lat), -1, 1)
+    def decode(vp, lat):
+        return jnp.clip(V.decode(vp, vcfg, lat), -1, 1)
 
     def frame_step(img, ctx_c, ctx_u, rng):
         b = img.shape[0]
-        x = encode(img, rng)
+        x = encode(vae_p, img, rng)
         ctx2 = jnp.concatenate([ctx_u, ctx_c], axis=0)
         for i in range(T_ENC - 1, -1, -1):
             ts = jnp.full((b,), int(h_ts[i]), jnp.int32)
-            x = cfg_step(x, ts, float(h_a[i]), float(h_ap[i]),
+            x = cfg_step(unet_p, x, ts, float(h_a[i]), float(h_ap[i]),
                          float(h_s1m[i]), ctx2)
-        return decode(x)
+        return decode(vae_p, x)
 
     return frame_step
 
@@ -148,21 +155,21 @@ def bench_step_mode(unet_p, ucfg, dtype, batch):
     from sd_animation_optical_flow_tpu.models import unet as U
 
     @jax.jit
-    def step(x, t, ctx):
-        return U.unet_apply(unet_p, ucfg, x, t, ctx)[0]
+    def step(up, x, t, ctx):
+        return U.unet_apply(up, ucfg, x, t, ctx)[0]
 
     x = jnp.zeros((2 * batch, H // 8, W // 8, 4), dtype)
     t = jnp.full((2 * batch,), 500, jnp.int32)
     ctx = jnp.zeros((2 * batch, 231, 768), dtype)
     t0 = time.perf_counter()
-    out = step(x, t, ctx)
+    out = step(unet_p, x, t, ctx)
     out.block_until_ready()
     print(f"# step-mode batch {batch}: compile+run "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = step(out * 0.99, t, ctx)
+        out = step(unet_p, out * 0.99, t, ctx)
     out.block_until_ready()
     per_step = (time.perf_counter() - t0) / reps
     # a frame = 2*T_ENC CFG-halves = T_ENC step calls at CFG batch;
