@@ -185,7 +185,11 @@ def main():
     unet_p, ucfg, vae_p, vcfg = build_params(dtype)
     print(f"# init {time.perf_counter() - t0:.1f}s", file=sys.stderr,
           flush=True)
-    mode = os.environ.get("BENCH_MODE", "loop")
+    # default scan: the whole 20-step frame is ONE compiled program.
+    # On the axon tunnel a DEPENDENT dispatch costs seconds of RTT, so
+    # python-level step loops measure tunnel latency, not the chip
+    # (measured: 85ms/step in-program vs 4.4s/step chained).
+    mode = os.environ.get("BENCH_MODE", "scan")
     if mode == "step":
         best_fps, best_batch = 0.0, 0
         for batch in (1, 4):

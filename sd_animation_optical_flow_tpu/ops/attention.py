@@ -264,13 +264,15 @@ def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
     scores nor the output, only the (unused) padded output columns."""
     if use_flash is None:
         import os
-        # default off: the axon remote-compile path has shown
-        # pathological Mosaic compile times for this kernel; XLA
-        # attention at 6k tokens fits HBM (2.4GB scores) and is proven.
-        # Set SDAOF_FLASH=1 to enable for long sequences.
+        # default ON for long unbiased sequences on TPU: the XLA path
+        # materializes fp32 [B,H,N,N] scores (9GB at 6k tokens, CFG
+        # batch 8 — OOM on v5e), the flash kernel streams them through
+        # VMEM. Round 1 gated this off for Mosaic compile slowness; that
+        # proved to be the remote-compile payload bug (params baked as
+        # closure constants), not the kernel. SDAOF_FLASH=0 disables.
         on_tpu = jax.default_backend() == "tpu"
         use_flash = (on_tpu and bias is None and q.shape[1] >= 2048
-                     and os.environ.get("SDAOF_FLASH", "0") == "1")
+                     and os.environ.get("SDAOF_FLASH", "1") != "0")
     if use_flash and bias is None:
         d = q.shape[-1]
         dp = -(-d // 64) * 64
