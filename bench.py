@@ -215,7 +215,7 @@ def main():
     fn = maker(unet_p, ucfg, vae_p, vcfg)
 
     batches = [int(b) for b in
-               os.environ.get("BENCH_BATCHES", "1,4").split(",")] \
+               os.environ.get("BENCH_BATCHES", "1,4,8").split(",")] \
         if backend == "tpu" else [1]
     best_fps, best_batch = 0.0, 0
     key = jax.random.PRNGKey(1)
