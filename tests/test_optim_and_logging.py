@@ -1,0 +1,97 @@
+"""Tests for AdamW-with-EMA-wings and the image-logging utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sd_animation_optical_flow_tpu.training.optim import (
+    EMAWingsState, adamw_with_ema_wings, ema_params_of)
+from sd_animation_optical_flow_tpu.utils import logging_images as LI
+
+
+def test_adamw_ema_wings_tracks_params(rng):
+    tx = adamw_with_ema_wings(lr=0.1, ema_decay=0.5, ema_power=1.0)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    assert isinstance(state, EMAWingsState)
+    np.testing.assert_allclose(np.asarray(state.ema_params["w"]), 1.0)
+
+    grads = {"w": jnp.ones((4,))}
+    for _ in range(5):
+        updates, state = tx.update(grads, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    # params moved down (positive grads); ema lags behind params
+    assert float(params["w"][0]) < 1.0
+    ema = float(state.ema_params["w"][0])
+    assert float(params["w"][0]) < ema < 1.0
+    assert int(state.step) == 5
+
+
+def test_adamw_ema_wings_warmup_decay():
+    """At step 1 the effective decay is min(ema_decay, 1-1^-1) = 0, so
+    the EMA equals the fresh params exactly (ldm/util.py:194)."""
+    tx = adamw_with_ema_wings(lr=0.1, ema_decay=0.9999, ema_power=1.0)
+    params = {"w": jnp.ones((2,))}
+    state = tx.init(params)
+    updates, state = tx.update({"w": jnp.ones((2,))}, state, params)
+    new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+    np.testing.assert_allclose(np.asarray(state.ema_params["w"]),
+                               np.asarray(new_params["w"]), rtol=1e-6)
+
+
+def test_ema_params_of_finds_state():
+    tx = adamw_with_ema_wings(lr=0.1)
+    params = {"w": jnp.zeros((2,))}
+    state = tx.init(params)
+    ema = ema_params_of((state,))       # nested tuple
+    assert "w" in ema
+    with pytest.raises(ValueError):
+        ema_params_of((jnp.zeros(1),))
+
+
+def test_adamw_ema_wings_requires_params():
+    tx = adamw_with_ema_wings()
+    state = tx.init({"w": jnp.zeros(1)})
+    with pytest.raises(AssertionError):
+        tx.update({"w": jnp.zeros(1)}, state, None)
+
+
+# ---------------------------------------------------------------------------
+# logging images
+# ---------------------------------------------------------------------------
+
+def test_count_params():
+    params = {"a": jnp.zeros((2, 3)), "b": [jnp.zeros((4,))]}
+    assert LI.count_params(params) == 10
+
+
+def test_make_grid_layout():
+    imgs = np.arange(6 * 4 * 4 * 3, dtype=np.float32).reshape(6, 4, 4, 3)
+    grid = LI.make_grid(imgs, nrow=3, padding=1)
+    # 2 rows x 3 cols of 4x4 tiles with 1px padding
+    assert grid.shape == (2 * 5 + 1, 3 * 5 + 1, 3)
+    np.testing.assert_allclose(grid[1:5, 1:5], imgs[0])
+    np.testing.assert_allclose(grid[6:10, 1:5], imgs[3])
+
+
+def test_log_txt_as_img():
+    out = LI.log_txt_as_img((64, 32), ["hello", "world"], size=10)
+    assert out.shape == (2, 32, 64, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    # text renders darker-than-white pixels
+    assert (out < 0.99).any()
+
+
+def test_denoise_row_grid():
+    rows = [np.zeros((2, 4, 4, 3), np.float32) + i for i in range(3)]
+    grid = LI.denoise_row_grid(rows)
+    # batch-major rows, step-minor columns: 2 rows x 3 cols
+    assert grid.shape == (2 * 6 + 2, 3 * 6 + 2, 3)
+
+
+def test_to_uint8_range():
+    x = np.array([[-1.0, 0.0, 1.0]])[..., None]
+    u = LI.to_uint8(x)
+    assert u.dtype == np.uint8
+    assert u.ravel().tolist()[:3] == [0, 127, 255]
