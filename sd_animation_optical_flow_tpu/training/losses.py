@@ -16,15 +16,26 @@ from ..models import unet as U
 
 
 def p_losses(unet_params, unet_cfg: U.UNetConfig, sched: DiffusionSchedule,
-             x0, context, rng, *, parameterization: str = "eps"):
+             x0, context, rng, *, parameterization: str = "eps",
+             c_concat=None, y=None):
     """Simple diffusion loss (ddpm.py:957-993 without the learned-logvar
-    and ELBO extras): sample t ~ U[0, T), noise x0, predict, MSE."""
+    and ELBO extras): sample t ~ U[0, T), noise x0, predict, MSE.
+
+    ``c_concat``: hybrid channel-concat conditioning (mask+masked-image
+    for LatentInpaintDiffusion, depth for LatentDepth2ImageDiffusion,
+    low-res for the upscalers — the LatentFinetuneDiffusion family,
+    ddpm.py:1532-1754). Noised latent channels carry the noise; the
+    conditioning channels are concatenated clean each step.
+    ``y``: int class/adm labels (e.g. the upscaler's noise level)."""
     b = x0.shape[0]
     k_t, k_noise = jax.random.split(rng)
     t = jax.random.randint(k_t, (b,), 0, sched.num_timesteps)
     noise = jax.random.normal(k_noise, x0.shape, x0.dtype)
     x_noisy = q_sample(sched, x0, t, noise)
-    pred, _ = U.unet_apply(unet_params, unet_cfg, x_noisy, t, context)
+    if c_concat is not None:
+        x_noisy = jnp.concatenate(
+            [x_noisy, c_concat.astype(x_noisy.dtype)], axis=-1)
+    pred, _ = U.unet_apply(unet_params, unet_cfg, x_noisy, t, context, y=y)
     if parameterization == "eps":
         target = noise
     elif parameterization == "v":

@@ -42,10 +42,11 @@ def make_train_step(unet_cfg: U.UNetConfig, sched: DiffusionSchedule, tx,
                     *, parameterization: str = "eps"):
     """Build the jitted (state, batch, rng) -> (state, loss) step."""
 
-    def step_fn(state: TrainState, x0, context, rng):
+    def step_fn(state: TrainState, x0, context, rng, c_concat=None,
+                y=None):
         loss, grads = jax.value_and_grad(p_losses)(
             state.params, unet_cfg, sched, x0, context, rng,
-            parameterization=parameterization)
+            parameterization=parameterization, c_concat=c_concat, y=y)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss

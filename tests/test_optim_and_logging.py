@@ -95,3 +95,54 @@ def test_to_uint8_range():
     u = LI.to_uint8(x)
     assert u.dtype == np.uint8
     assert u.ravel().tolist()[:3] == [0, 127, 255]
+
+
+# ---------------------------------------------------------------------------
+# finetune-family training conditioning (hybrid concat + adm)
+# ---------------------------------------------------------------------------
+
+def test_p_losses_hybrid_and_adm(rng):
+    from sd_animation_optical_flow_tpu.diffusion.schedule import \
+        make_linear_schedule
+    from sd_animation_optical_flow_tpu.models import unet as U
+    from sd_animation_optical_flow_tpu.training.losses import p_losses
+
+    cfg = U.UNetConfig(in_channels=9, model_channels=16, channel_mult=(1,),
+                       attention_resolutions=(), num_heads=2,
+                       context_dim=16, num_classes=8)
+    params = U.unet_init(rng, cfg)
+    sched = make_linear_schedule(100)
+    x0 = jnp.zeros((2, 8, 8, 4))
+    cc = jnp.ones((2, 8, 8, 5))          # 4-latent + 5-concat = 9ch UNet
+    ctx = jnp.zeros((2, 3, 16))
+    y = jnp.array([1, 3])
+    loss = p_losses(params, cfg, sched, x0, ctx, jax.random.PRNGKey(1),
+                    c_concat=cc, y=y)
+    assert np.isfinite(float(loss))
+    # gradients flow
+    g = jax.grad(lambda p: p_losses(p, cfg, sched, x0, ctx,
+                                    jax.random.PRNGKey(1), c_concat=cc,
+                                    y=y))(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert total > 0.0
+
+
+def test_train_step_with_concat(rng):
+    from sd_animation_optical_flow_tpu.diffusion.schedule import \
+        make_linear_schedule
+    from sd_animation_optical_flow_tpu.models import unet as U
+    from sd_animation_optical_flow_tpu.training import train_step as TS
+
+    cfg = U.UNetConfig(in_channels=5, model_channels=16, channel_mult=(1,),
+                       attention_resolutions=(), num_heads=2,
+                       context_dim=16)
+    params = U.unet_init(rng, cfg)
+    sched = make_linear_schedule(100)
+    tx = TS.make_optimizer(lr=1e-4)
+    state = TS.init_train_state(params, tx)
+    step = TS.make_train_step(cfg, sched, tx)
+    x0 = jnp.zeros((2, 8, 8, 4))
+    cc = jnp.ones((2, 8, 8, 1))
+    ctx = jnp.zeros((2, 3, 16))
+    state, loss = step(state, x0, ctx, jax.random.PRNGKey(2), cc)
+    assert int(state.step) == 1 and np.isfinite(float(loss))
