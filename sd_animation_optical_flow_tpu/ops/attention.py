@@ -45,8 +45,10 @@ def xla_attention(q, k, v, *, bias=None):
 # 512x1024 runs 2.1x faster than 256x256 (5.3ms vs 11.2ms; the f32
 # score tile is 512*1024*4B = 2MB of VMEM, comfortable with double
 # buffering). 2048x1024 is marginally faster but VMEM-tight at 8MB.
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 1024
+# Overridable per-run for tuning sweeps (SDAOF_BLOCK_Q / SDAOF_BLOCK_K).
+import os as _os
+DEFAULT_BLOCK_Q = int(_os.environ.get("SDAOF_BLOCK_Q", "512"))
+DEFAULT_BLOCK_K = int(_os.environ.get("SDAOF_BLOCK_K", "1024"))
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
