@@ -187,6 +187,89 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
 
 
 # ---------------------------------------------------------------------------
+# fused inpainting program: mask blur -> composite -> VAE encodes ->
+# conditioning -> scanned decode, ONE compiled unit. On remote-runtime
+# links every chained dispatch costs a round trip (measured ~1s each),
+# so the 4-program chain of the unfused path dominated per-frame time.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet_cfg", "vae_cfg", "mask_blur", "t_enc",
+                     "ddim_steps", "parameterization", "cfg_scale",
+                     "capture_kv", "final_composite", "has_reference",
+                     "tile_noise", "want_init_decoded"))
+def _inpaint_fused(unet_params, unet_cfg, vae_params, vae_cfg, sched,
+                   image, reference_img, mask01, ctx_c, ctx_u, gates,
+                   ref_kv, rng, *, mask_blur, t_enc, ddim_steps,
+                   parameterization, cfg_scale, capture_kv,
+                   final_composite, has_reference, tile_noise,
+                   want_init_decoded):
+    """image/reference_img [B, H, W, 3]; mask01 [B, H, W]. RNG splits and
+    noise draws exactly mirror the unfused path (split(rng, 4); tiled
+    [1,...] posterior noise broadcast over B — identical at B=1), so
+    outputs are bitwise-stable across the fusion."""
+    k_enc, k_cdt, k_rand, k_core = jax.random.split(rng, 4)
+    dtype = image.dtype
+
+    m = mask01.astype(jnp.float32)
+    if mask_blur > 0:
+        image_mask = jax.vmap(
+            lambda mm: gaussian_blur(mm, float(mask_blur)))(m)
+    else:
+        image_mask = m
+    image_mask = jnp.clip(image_mask, 0.0, 1.0)
+    m4 = image_mask[..., None].astype(dtype)
+    if has_reference:
+        composited = image * (1.0 - m4) + reference_img * m4
+    else:
+        composited = image
+
+    init_latent = _vae_encode_tiled(vae_params, vae_cfg, composited, k_enc)
+    h, w = init_latent.shape[1:3]
+    nmask = jnp.round(resize(image_mask[..., None].astype(jnp.float32),
+                             (h, w), "linear"))
+    if not has_reference:
+        # fill path: randomize the masked latent (inpainting.py:310-312)
+        noise = jax.random.normal(k_rand, init_latent.shape,
+                                  init_latent.dtype)
+        init_latent = (1.0 - nmask) * init_latent + nmask * noise
+
+    # 5-ch inpaint conditioning (guided_ldm_inpainting.py:139-154)
+    cmask = jnp.round(image_mask)[..., None]
+    cond_latent = _vae_encode_tiled(
+        vae_params, vae_cfg,
+        composited * (1.0 - cmask.astype(dtype)), k_cdt)
+    cmask_lat = resize(cmask, (h, w), "nearest")
+    c_concat = jnp.concatenate([cmask_lat.astype(dtype), cond_latent],
+                               axis=-1)
+
+    out, decoded, kv = _img2img_core(
+        unet_params, unet_cfg, vae_params, vae_cfg, sched,
+        init_latent, ctx_c, ctx_u, c_concat, jnp.zeros_like(init_latent),
+        jnp.zeros((max(t_enc, 1), 1, 1, 1, 1), jnp.float32),
+        nmask, gates, ref_kv, k_core, None, None,
+        t_enc=t_enc, ddim_steps=ddim_steps,
+        parameterization=parameterization, cfg_scale=cfg_scale,
+        capture_kv=capture_kv, use_inpaint=True, use_guidance=False,
+        final_composite=final_composite, tile_noise=tile_noise)
+    init_decoded = jnp.clip(V.decode(vae_params, vae_cfg, init_latent),
+                            -1, 1) if want_init_decoded else None
+    return out, composited, init_decoded, kv
+
+
+def _vae_encode_tiled(params, cfg, img, rng):
+    """Posterior sample with noise drawn once and broadcast over batch
+    (bit-identical to a per-frame fixed-seed encode)."""
+    mean, logvar = V.encode_moments(params, cfg, img)
+    std = jnp.exp(0.5 * logvar)
+    noise = jnp.broadcast_to(
+        jax.random.normal(rng, (1,) + mean.shape[1:], mean.dtype),
+        mean.shape)
+    return (mean + std * noise) * cfg.scale_factor
+
+
+# ---------------------------------------------------------------------------
 # facades
 # ---------------------------------------------------------------------------
 
@@ -287,44 +370,25 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
                     mask_blur: int = 16, guidance_schedule_func=None,
                     cfg_scale: float = 7.0, seed: int = 1234,
                     reference_kv=None, capture_kv: bool = False,
-                    control_specs=()):
+                    control_specs=(), want_init_decoded: bool = True):
     """Masked inpainting img2img (guided_ldm_inpainting.py:261-345).
 
     image/reference_img: [1, H, W, 3] in [-1, 1]; mask: [H, W] in {0, 1}
     (1 = inpaint). Returns (image, composited_input, init_latent_decoded,
-    kv_hist).
+    kv_hist). ``want_init_decoded=False`` skips the extra VAE decode of
+    the init latent (a debug output the reference always computes,
+    guided_ldm_inpainting.py:344; an avoidable dispatch per frame on
+    remote-runtime links) and returns None in its place.
     """
     rng = jax.random.PRNGKey(seed)
-    k_enc, k_cdt, k_rand, k_core = jax.random.split(rng, 4)
     ctx_c = sd.get_learned_conditioning(c_text)
     ctx_u = sd.get_learned_conditioning(uc_text)
 
     assert mask is not None, "img2img_inpaint requires a mask"
     mask01 = jnp.asarray(mask, jnp.float32)
-    # PIL GaussianBlur(mask_blur) on the 0-255 mask (inpainting.py:293)
-    image_mask = gaussian_blur(mask01, float(mask_blur)) if mask_blur > 0 \
-        else mask01
-    image_mask = jnp.clip(image_mask, 0.0, 1.0)
-
-    if reference_img is not None:
-        # Image.composite(reference, image, mask) (inpainting.py:298)
-        composited = image * (1.0 - image_mask[None, :, :, None]) + \
-            reference_img * image_mask[None, :, :, None]
-    else:
-        composited = image        # fill_mask_input approximation: see below
-        denoising_strength = 1.0
-
-    init_latent = sd.encode_image(composited, k_enc)
-    h, w = init_latent.shape[1:3]
-    # binarized latent mask (inpainting.py:304-309: bilinear resize+round)
-    nmask = jnp.round(resize(image_mask[:, :, None], (h, w), "linear"))[None]
-
-    if reference_img is None:
-        noise = jax.random.normal(k_rand, init_latent.shape,
-                                  init_latent.dtype)
-        init_latent = (1.0 - nmask) * init_latent + nmask * noise
-
-    c_concat = build_inpaint_conditioning(sd, composited, image_mask, k_cdt)
+    has_reference = reference_img is not None
+    if not has_reference:
+        denoising_strength = 1.0   # fill path (inpainting.py:310-312)
 
     t_enc = _t_enc(denoising_strength, ddim_steps)
     ps = D.guidance_progress(t_enc, ddim_steps)
@@ -332,6 +396,44 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
     gates = jnp.asarray([float(fn(p)) for p in ps], jnp.float32) \
         if t_enc > 0 else jnp.zeros((1,), jnp.float32)
     last_gs = float(gates[-1]) if t_enc > 0 else 1.0
+
+    if not control_specs:
+        # the fused single-program path (the common pipeline shape)
+        img_d = jnp.asarray(image, sd.dtype)
+        ref_d = img_d if not has_reference \
+            else jnp.asarray(reference_img, sd.dtype)
+        out, composited, init_latent_decoded, kv = _inpaint_fused(
+            sd.unet_params, sd.unet_cfg, sd.vae_params, sd.vae_cfg,
+            sd.sched, img_d, ref_d, mask01[None], ctx_c, ctx_u, gates,
+            reference_kv, rng, mask_blur=mask_blur, t_enc=t_enc,
+            ddim_steps=ddim_steps, parameterization=sd.parameterization,
+            cfg_scale=cfg_scale, capture_kv=capture_kv,
+            final_composite=last_gs > 0, has_reference=has_reference,
+            tile_noise=False, want_init_decoded=want_init_decoded)
+        return out, composited, init_latent_decoded, kv
+
+    # ControlNet path (unfused: residuals need host-prepped hints)
+    k_enc, k_cdt, k_rand, k_core = jax.random.split(rng, 4)
+    # PIL GaussianBlur(mask_blur) on the 0-255 mask (inpainting.py:293)
+    image_mask = gaussian_blur(mask01, float(mask_blur)) if mask_blur > 0 \
+        else mask01
+    image_mask = jnp.clip(image_mask, 0.0, 1.0)
+
+    if has_reference:
+        # Image.composite(reference, image, mask) (inpainting.py:298)
+        composited = image * (1.0 - image_mask[None, :, :, None]) + \
+            reference_img * image_mask[None, :, :, None]
+    else:
+        composited = image        # fill_mask_input approximation
+    init_latent = sd.encode_image(composited, k_enc)
+    h, w = init_latent.shape[1:3]
+    # binarized latent mask (inpainting.py:304-309: bilinear resize+round)
+    nmask = jnp.round(resize(image_mask[:, :, None], (h, w), "linear"))[None]
+    if not has_reference:
+        noise = jax.random.normal(k_rand, init_latent.shape,
+                                  init_latent.dtype)
+        init_latent = (1.0 - nmask) * init_latent + nmask * noise
+    c_concat = build_inpaint_conditioning(sd, composited, image_mask, k_cdt)
 
     controls, ccfgs, cweights = _prep_controls(control_specs, t_enc,
                                                ddim_steps)
@@ -345,7 +447,8 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
         capture_kv=capture_kv, use_inpaint=True, use_guidance=False,
         final_composite=last_gs > 0, control_cfgs=ccfgs)
 
-    init_latent_decoded = jnp.clip(sd.decode_latent(init_latent), -1, 1)
+    init_latent_decoded = jnp.clip(sd.decode_latent(init_latent), -1, 1) \
+        if want_init_decoded else None
     return out, composited, init_latent_decoded, kv
 
 
@@ -408,19 +511,6 @@ def img2img_latent_inpaint(sd: StableDiffusionBundle, warped_latent,
 # batched inpainting (TPU throughput shape)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _vae_encode_tiled_jit(params, cfg, img, rng):
-    """Posterior sample with the noise drawn once and tiled over the
-    batch — bit-replicates B fixed-seed single-frame encodes."""
-    from ..models import vae as V
-    mean, logvar = V.encode_moments(params, cfg, img)
-    std = jnp.exp(0.5 * logvar)
-    noise = jnp.broadcast_to(
-        jax.random.normal(rng, (1,) + mean.shape[1:], mean.dtype),
-        mean.shape)
-    return (mean + std * noise) * cfg.scale_factor
-
-
 def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
                           uc_text: str, masks, reference_imgs,
                           denoising_strength: float = 0.05,
@@ -443,35 +533,9 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
     b = images.shape[0]
     assert len(c_texts) == b
     rng = jax.random.PRNGKey(seed)
-    # split exactly like img2img_inpaint (k_rand unused here) so a
-    # batched call bit-matches B sequential fixed-seed calls
-    k_enc, k_cdt, _k_rand, k_core = jax.random.split(rng, 4)
     ctx_c = jnp.concatenate(
         [sd.get_learned_conditioning(t) for t in c_texts], axis=0)
     ctx_u = jnp.tile(sd.get_learned_conditioning(uc_text), (b, 1, 1))
-
-    mask01 = jnp.asarray(masks, jnp.float32)
-    if mask_blur > 0:
-        image_mask = jax.vmap(
-            lambda m: gaussian_blur(m, float(mask_blur)))(mask01)
-    else:
-        image_mask = mask01
-    image_mask = jnp.clip(image_mask, 0.0, 1.0)
-    m4 = image_mask[..., None]
-    composited = images * (1.0 - m4) + reference_imgs * m4
-
-    init_latent = _vae_encode_tiled_jit(sd.vae_params, sd.vae_cfg,
-                                        composited.astype(sd.dtype), k_enc)
-    h, w = init_latent.shape[1:3]
-    nmask = jnp.round(resize(m4, (h, w), "linear"))
-
-    # 5-ch inpaint conditioning, batched (guided_ldm_inpainting.py:139-154)
-    cmask = jnp.round(image_mask)[..., None]
-    cond_latent = _vae_encode_tiled_jit(
-        sd.vae_params, sd.vae_cfg,
-        (composited * (1.0 - cmask)).astype(sd.dtype), k_cdt)
-    cmask_lat = resize(cmask, (h, w), "nearest")
-    c_concat = jnp.concatenate([cmask_lat, cond_latent], axis=-1)
 
     t_enc = _t_enc(denoising_strength, ddim_steps)
     ps = D.guidance_progress(t_enc, ddim_steps)
@@ -480,13 +544,12 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
         if t_enc > 0 else jnp.zeros((1,), jnp.float32)
     last_gs = float(gates[-1]) if t_enc > 0 else 1.0
 
-    out, _, _ = _img2img_core(
+    out, _, _, _ = _inpaint_fused(
         sd.unet_params, sd.unet_cfg, sd.vae_params, sd.vae_cfg, sd.sched,
-        init_latent, ctx_c, ctx_u, c_concat, jnp.zeros_like(init_latent),
-        jnp.zeros((max(t_enc, 1), 1, 1, 1, 1), jnp.float32),
-        nmask, gates, None, k_core, None, None,
-        t_enc=t_enc, ddim_steps=ddim_steps,
+        jnp.asarray(images, sd.dtype), jnp.asarray(reference_imgs, sd.dtype),
+        jnp.asarray(masks, jnp.float32), ctx_c, ctx_u, gates, None, rng,
+        mask_blur=mask_blur, t_enc=t_enc, ddim_steps=ddim_steps,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
-        capture_kv=False, use_inpaint=True, use_guidance=False,
-        final_composite=last_gs > 0, tile_noise=True)
+        capture_kv=False, final_composite=last_gs > 0,
+        has_reference=True, tile_noise=True, want_init_decoded=False)
     return out

@@ -217,7 +217,7 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
                 reference_img=bgr_u8_to_model(frame_bgr),
                 mask=mask01_d, mask_blur=cfg.mask_blur,
                 guidance_schedule_func=cfg.guidance_schedule_func,
-                seed=cfg.seed)
+                seed=cfg.seed, want_init_decoded=False)
             raw_ai_d = model_to_bgr_f32d(img_out)
             if cfg.propagated_pixel_weight >= 0.001:
                 # propagated-pixel mix (ofgen_pixel_inpaint.py:251-260)
