@@ -30,6 +30,9 @@ from .raft import RAFTConfig, coords_grid, pad_to_multiple, raft_apply
 
 @dataclass(frozen=True)
 class FlowConfidenceConfig:
+    # corr_dtype="bfloat16" is available as a knob but measured neutral
+    # on v5e (the lookup is gather-op-bound, not bandwidth-bound), so
+    # the default keeps exact f32 reference numerics.
     raft: RAFTConfig = RAFTConfig()
     # conf = exp(-e_fb^2 / (2 sigma^2)); sigma=1.03 => conf(1/3 px)~0.95
     fb_sigma: float = 1.03

@@ -34,6 +34,11 @@ class RAFTConfig:
     fnet_dim: int = 256
     alternate_corr: bool = False   # on-the-fly windowed corr (alt path)
     small: bool = False            # SmallEncoder/SmallUpdateBlock variant
+    # storage dtype of the all-pairs correlation pyramid. The lookup is
+    # gather-bound on TPU, so bf16 storage halves its HBM traffic; the
+    # matmul and the bilinear stencil still run in f32. "float32"
+    # preserves the reference's numerics exactly.
+    corr_dtype: str = "float32"
 
     @staticmethod
     def small_config(**kw) -> "RAFTConfig":
@@ -366,7 +371,8 @@ def raft_apply(params, cfg: RAFTConfig, image1, image2, *,
         corr_fn = lambda coords: alt_correlation_xla(
             fmap1, f2_pyr, coords, cfg.corr_radius)
     else:
-        pyramid = build_pyramid(all_pairs_correlation(fmap1, fmap2),
+        corr = all_pairs_correlation(fmap1, fmap2)
+        pyramid = build_pyramid(corr.astype(jnp.dtype(cfg.corr_dtype)),
                                 cfg.corr_levels)
         corr_fn = lambda coords: lookup_pyramid(pyramid, coords,
                                                 cfg.corr_radius)

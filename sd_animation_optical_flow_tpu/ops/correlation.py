@@ -105,11 +105,14 @@ def _window_lookup(vol, cx, cy, radius: int):
     vx = (xx >= 0) & (xx < w)
     yc = jnp.clip(yy, 0, h - 1)
     xc = jnp.clip(xx, 0, w - 1)
-    # one gather of the integer window: [N, win, win]
+    # one gather of the integer window in the volume's STORAGE dtype
+    # (gathers are bandwidth-bound; bf16 storage halves the traffic),
+    # stencil math in f32
     flat_idx = yc[:, :, None] * w + xc[:, None, :]
     taps = jnp.take_along_axis(vol.reshape(n, h * w),
                                flat_idx.reshape(n, win * win),
                                axis=1).reshape(n, win, win)
+    taps = taps.astype(jnp.float32)
     taps = jnp.where(vy[:, :, None] & vx[:, None, :], taps, 0.0)
     # shared-phase bilinear stencil over static slices
     out = ((1 - fy) * (1 - fx) * taps[:, :side, :side]
@@ -137,7 +140,7 @@ def lookup_pyramid(pyramid: Sequence[jnp.ndarray], coords, radius: int = 4):
         # window center offset -r: taps run dy,dx in [-r, r+1]
         cx = flat[:, 0] * scale - r
         cy = flat[:, 1] * scale - r
-        outs.append(_window_lookup(vol.astype(jnp.float32), cx, cy, r))
+        outs.append(_window_lookup(vol, cx, cy, r))
     out = jnp.concatenate(outs, axis=-1)                # [N, L*side^2]
     return out.reshape(b, h, w, len(pyramid) * side * side)
 
