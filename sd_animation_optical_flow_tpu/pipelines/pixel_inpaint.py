@@ -263,19 +263,27 @@ def run_video(video_path: str, save_dir: str, sd, sd_inpaint,
 # batched segment mode (TPU throughput shape; no reference counterpart)
 # ---------------------------------------------------------------------------
 
-def _process_batch(batch, out_dir, reference_frame, reference_ai_frame,
-                   sd_inpaint, flow_estimator, tagger, cfg):
-    """Run a list of [(frame_bgr, counter)] non-key frames of one
-    keyframe segment as a single batched program chain: batched flow ->
-    vmapped warp + mask -> img2img_inpaint_batch -> per-frame PNGs."""
-    import jax
-
-    b = len(batch)
+def _dispatch_batch_flow(batch, reference_frame, flow_estimator):
+    """Async flow dispatch for a batch (device arrays, no host sync) —
+    lets the next batch's flow overlap the current batch's denoise."""
     frames = np.stack([f for f, _ in batch])
     src = np.broadcast_to(reference_frame[None, ..., ::-1],
                           frames.shape).astype(np.float32)
     flow_d, conf_d, _ = flow_estimator.calc_batch_device(
         src, frames[..., ::-1].astype(np.float32))
+    return flow_d, conf_d
+
+
+def _process_batch(batch, flow_pair, out_dir, reference_frame,
+                   reference_ai_frame, sd_inpaint, tagger, cfg):
+    """Run a list of [(frame_bgr, counter)] non-key frames of one
+    keyframe segment as a single batched program chain: (prefetched)
+    batched flow -> vmapped warp + mask -> img2img_inpaint_batch ->
+    per-frame PNGs."""
+    import jax
+
+    frames = np.stack([f for f, _ in batch])
+    flow_d, conf_d = flow_pair
 
     ref_ai_d = jnp.asarray(reference_ai_frame.astype(np.float32))
     warped_d = jnp.clip(
@@ -336,18 +344,32 @@ def run_batched(frames: Iterable[Tuple[np.ndarray, bool, int]],
     reference_frame = None
     reference_ai_frame = None
     pending: list = []
+    inflight = None      # (batch, (flow_d, conf_d)) with flow dispatched
 
-    def flush():
-        nonlocal pending
-        if pending:
-            _process_batch(pending, out_dir, reference_frame,
-                           reference_ai_frame, sd_inpaint, flow_estimator,
-                           tagger, cfg)
-            pending = []
+    def process_inflight():
+        nonlocal inflight
+        if inflight is not None:
+            batch, flow_pair = inflight
+            inflight = None
+            _process_batch(batch, flow_pair, out_dir, reference_frame,
+                           reference_ai_frame, sd_inpaint, tagger, cfg)
+
+    def queue_batch():
+        """Dispatch this batch's flow (async), then denoise the PREVIOUS
+        batch while the new flow computes on-device."""
+        nonlocal pending, inflight
+        if not pending:
+            return
+        new = (pending, _dispatch_batch_flow(pending, reference_frame,
+                                             flow_estimator))
+        pending = []
+        process_inflight()
+        inflight = new
 
     for frame_bgr, is_key, counter in frames:
         if is_key:
-            flush()
+            queue_batch()
+            process_inflight()
             ai_frame = keyframe_img2img(sd, tagger, frame_bgr, cfg)
             reference_frame = frame_bgr
             reference_ai_frame = ai_frame
@@ -361,6 +383,7 @@ def run_batched(frames: Iterable[Tuple[np.ndarray, bool, int]],
         else:
             pending.append((frame_bgr, counter))
             if len(pending) >= bsz:
-                flush()
-    flush()
+                queue_batch()
+    queue_batch()
+    process_inflight()
     return out_dir
