@@ -107,3 +107,50 @@ def sobel_edges(lum):
         lum[None, :, :, None], kx.T[:, :, None, None], (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
     return jnp.sqrt(gx ** 2 + gy ** 2)
+
+
+def _blur_any_sigma(x, sigma: float):
+    """Gaussian blur at arbitrary sigma. Large sigmas go through a
+    downsample -> blur -> upsample pyramid (PIL's own GaussianBlur is a
+    box-chain approximation, so approximate large-radius behavior is the
+    contract); small sigmas use the exact separable kernel."""
+    if sigma <= 0:
+        return x
+    if sigma <= 12:
+        return gaussian_blur(x, float(sigma))
+    from .resize import resize
+    h, w = x.shape[-3], x.shape[-2]
+    f = max(int(sigma // 8), 1)
+    hs, ws = max(h // f, 1), max(w // f, 1)
+    small = resize(x, (hs, ws), "area")
+    small = gaussian_blur(small, float(sigma) / f)
+    return resize(small, (h, w), "linear")
+
+
+def fill_masked(img, mask01,
+                schedule=((256, 1), (64, 1), (16, 2), (4, 4), (2, 2),
+                          (0, 1))):
+    """Fill masked pixels with multi-radius Gaussian-blurred colors —
+    the reference's ``fill_mask_input`` (guided_ldm_inpainting.py:161-176):
+    premultiplied-alpha blurs at radii 256/64/16/4/2/0 alpha-composited
+    coarse-to-fine, so fine structure wins near the hole boundary and
+    coarse colors fill the interior.
+
+    img [..., H, W, C] (any linear color space); mask01 [..., H, W]
+    (1 = hole). Device-side jnp (the reference round-trips through PIL).
+    """
+    a = (1.0 - jnp.asarray(mask01, jnp.float32))[..., None]
+    prem = img.astype(jnp.float32) * a
+    mod_c = jnp.zeros_like(prem)
+    mod_a = jnp.zeros_like(a)
+    for radius, repeats in schedule:
+        bc = _blur_any_sigma(prem, radius)
+        ba = _blur_any_sigma(a, radius)
+        col = bc / jnp.maximum(ba, 1e-6)
+        src_prem = col * ba
+        for _ in range(repeats):
+            # src OVER dst, premultiplied (PIL alpha_composite)
+            mod_c = src_prem + mod_c * (1.0 - ba)
+            mod_a = ba + mod_a * (1.0 - ba)
+    out = mod_c / jnp.maximum(mod_a, 1e-6)
+    return out.astype(img.dtype)

@@ -223,7 +223,10 @@ def _inpaint_fused(unet_params, unet_cfg, vae_params, vae_cfg, sched,
     if has_reference:
         composited = image * (1.0 - m4) + reference_img * m4
     else:
-        composited = image
+        # fill path: seed masked pixels with multi-radius blurred colors
+        # before encoding (fill_mask_input, inpainting.py:161-176,310-312)
+        from ..ops.filters import fill_masked
+        composited = fill_masked(image, jnp.round(image_mask)).astype(dtype)
 
     init_latent = _vae_encode_tiled(vae_params, vae_cfg, composited, k_enc)
     h, w = init_latent.shape[1:3]

@@ -112,3 +112,30 @@ def test_flow_travel_distance_gating(np_rng):
     v = W.flow_travel_distance(jnp.asarray(flow), jnp.asarray(conf))
     assert np.allclose(np.asarray(v)[:5], 0.0)
     assert np.allclose(np.asarray(v)[5:], np.sqrt(18.0), rtol=1e-5)
+
+
+def test_fill_masked_fills_hole_with_surrounding_color():
+    from sd_animation_optical_flow_tpu.ops.filters import fill_masked
+    # uniform gray image with a hole: the fill must reproduce the gray
+    img = jnp.full((1, 32, 32, 3), 0.25)
+    mask = np.zeros((1, 32, 32), np.float32)
+    mask[0, 10:22, 10:22] = 1.0
+    out = fill_masked(img, jnp.asarray(mask))
+    assert out.shape == img.shape
+    np.testing.assert_allclose(np.asarray(out), 0.25, atol=1e-3)
+
+
+def test_fill_masked_keeps_known_pixels():
+    from sd_animation_optical_flow_tpu.ops.filters import fill_masked
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, 24, 24, 3), dtype=np.float32))
+    mask = np.zeros((1, 24, 24), np.float32)
+    mask[0, 4:9, 4:9] = 1.0
+    out = np.asarray(fill_masked(img, jnp.asarray(mask)))
+    known = mask[0] == 0
+    # known pixels survive (final radius-0 layer composites them on top)
+    np.testing.assert_allclose(out[0][known], np.asarray(img)[0][known],
+                               atol=1e-3)
+    # hole pixels take plausible values from the image range
+    hole = out[0][mask[0] == 1]
+    assert hole.min() >= -0.1 and hole.max() <= 1.1
