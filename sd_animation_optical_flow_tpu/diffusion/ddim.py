@@ -73,6 +73,8 @@ def ddim_decode(
     # --- guidance blending (guided_ldm.py path) ---
     guidance_latent: Optional[jnp.ndarray] = None,
     guidance_strength: Optional[jnp.ndarray] = None,  # [t_enc, ...] bcast to x
+    guidance_space: str = "latent",      # or "pixel" (noised_blending)
+    pixel_fns=None,                      # (vae_encode(x,key), vae_decode(z))
     # --- inpainting re-noise (guided_ldm_inpainting.py path) ---
     init_latent: Optional[jnp.ndarray] = None,
     nmask: Optional[jnp.ndarray] = None,              # [h, w, 1] or [B,h,w,1]
@@ -143,9 +145,40 @@ def ddim_decode(
 
         pred_x0 = (x - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
 
-        if use_guidance:
+        if use_guidance and guidance_space == "latent":
             gs = guidance_strength[i].astype(x.dtype)
             pred_x0 = pred_x0 * (1.0 - gs) + guidance_latent.astype(x.dtype) * gs
+            e_t = (x - jnp.sqrt(a_t) * pred_x0) / sqrt_1m_at
+        elif use_guidance and guidance_space == "pixel":
+            # noised_blending (guided_ldm.py:105-117): noise the guidance
+            # latent to the NEXT index, predict ITS x0 with the same CFG
+            # model, decode both x0s, blend in pixel space, re-encode.
+            assert pixel_fns is not None, "pixel guidance needs vae fns"
+            vae_encode, vae_decode = pixel_fns
+            k_g, k_e, key = jax.random.split(key, 3)
+            g_noise = jax.random.normal(k_g, x.shape, x.dtype)
+            idx1 = jnp.minimum(index + 1, ddim.timesteps.shape[0] - 1)
+            a_g = jnp.sqrt(ddim.alphas[idx1]).astype(x.dtype)
+            s_g = ddim.sqrt_one_minus_alphas[idx1].astype(x.dtype)
+            g_noised = a_g * guidance_latent.astype(x.dtype) + s_g * g_noise
+            g_out = cfg_model_call(model_fn, g_noised, ts, cond, uncond,
+                                   cfg_scale, control=control)
+            if parameterization == "v":
+                e_g = predict_eps_from_z_and_v(sched, g_noised, ts, g_out)
+            else:
+                e_g = g_out
+            pred_x0_g = (g_noised - sqrt_1m_at * e_g) / jnp.sqrt(a_t)
+            dec = vae_decode(pred_x0)
+            dec_g = vae_decode(pred_x0_g)
+            gs = guidance_strength[i].astype(x.dtype)
+            # pixel-space strength broadcast: latent-res maps upsample by
+            # the VAE's spatial factor (8 for SD; derived from shapes)
+            if gs.ndim >= 3 and gs.shape[-3] > 1 \
+                    and gs.shape[-3] != dec.shape[-3]:
+                f = dec.shape[-3] // gs.shape[-3]
+                gs = jnp.repeat(jnp.repeat(gs, f, axis=-3), f, axis=-2)
+            blended = jnp.clip(dec * (1.0 - gs) + dec_g * gs, -1.0, 1.0)
+            pred_x0 = vae_encode(blended, k_e)
             e_t = (x - jnp.sqrt(a_t) * pred_x0) / sqrt_1m_at
 
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t ** 2, 0.0)) * e_t

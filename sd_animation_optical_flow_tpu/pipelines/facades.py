@@ -110,14 +110,15 @@ def _latent_hw(img_shape):
     static_argnames=("unet_cfg", "vae_cfg", "t_enc", "ddim_steps",
                      "parameterization", "cfg_scale", "capture_kv",
                      "use_inpaint", "use_guidance", "final_composite",
-                     "control_cfgs", "tile_noise"))
+                     "control_cfgs", "tile_noise", "guidance_space"))
 def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   init_latent, ctx_cond, ctx_uncond, c_concat,
                   guidance_latent, guidance_strength, nmask, renoise_gate,
                   ref_kv, rng, controls=None, control_weights=None, *,
                   t_enc, ddim_steps, parameterization,
                   cfg_scale, capture_kv, use_inpaint, use_guidance,
-                  final_composite, control_cfgs=(), tile_noise=False):
+                  final_composite, control_cfgs=(), tile_noise=False,
+                  guidance_space="latent"):
     """stochastic_encode -> scanned guided DDIM -> (final composite) ->
     VAE decode. One compiled program per static signature.
 
@@ -155,12 +156,20 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
             controlnet_apply(cp, ccfg, x_ctrl, hint, t_ctrl, ctx_ctrl)
             for (cp, hint), ccfg in zip(controls, control_cfgs)]
 
+    pixel_fns = None
+    if use_guidance and guidance_space == "pixel":
+        pixel_fns = (
+            lambda xp, k: V.encode(vae_params, vae_cfg, xp, rng=k,
+                                   sample=True),
+            lambda z: V.decode(vae_params, vae_cfg, z))
+
     decoded = D.ddim_decode(
         model_fn, sched, ddim, x1, cond, uncond, t_enc,
         cfg_scale=cfg_scale, parameterization=parameterization,
         rng=k_decode,
         guidance_latent=guidance_latent if use_guidance else None,
         guidance_strength=guidance_strength if use_guidance else None,
+        guidance_space=guidance_space, pixel_fns=pixel_fns,
         init_latent=init_latent if use_inpaint else None,
         nmask=nmask if use_inpaint else None,
         renoise_gate=renoise_gate if use_inpaint else None,
@@ -294,10 +303,16 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
             target_img=None, guidance_schedule_func=None,
             guidance_weight=None, cfg_scale: float = 7.0,
             seed: int = 1234, reference_kv=None, capture_kv: bool = False,
-            control_specs=()):
-    """Plain guided img2img (guided_ldm.py:165-219, latent guidance space).
+            control_specs=(), guidance_space: str = "latent"):
+    """Plain guided img2img (guided_ldm.py:165-219).
 
     img: [1, H, W, 3] in [-1, 1]. Returns (image, kv_hist).
+
+    ``guidance_space``: 'latent' (default, pred_x0 lerp) or 'pixel'
+    (the reference's noised_blending, guided_ldm.py:92-118: noise the
+    guidance latent to the next step, predict its x0 with the same CFG
+    model, decode both x0s, blend in pixel space, re-encode — costs one
+    extra CFG UNet eval + 3 VAE passes per step).
     """
     rng = jax.random.PRNGKey(seed)
     k_enc, k_tgt, k_core = jax.random.split(rng, 3)
@@ -325,7 +340,7 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=False,
         use_guidance=use_guidance, final_composite=False,
-        control_cfgs=ccfgs)
+        control_cfgs=ccfgs, guidance_space=guidance_space)
     return out, kv
 
 

@@ -224,3 +224,23 @@ def test_run_batched_matches_run(bundles, tmp_path):
         b = cv2.imread(os.path.join(d_bat, n)).astype(np.int16)
         # identical math modulo one uint8 rounding step
         assert np.abs(a - b).max() <= 1, n
+
+
+def test_img2img_pixel_space_guidance(bundles):
+    """noised_blending pixel-space guidance (guided_ldm.py:92-118):
+    runs, stays finite/bounded, and actually differs from latent-space
+    guidance with the same inputs."""
+    sd, _ = bundles
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32)) * 2 - 1
+    tgt = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32)) * 2 - 1
+    kw = dict(denoising_strength=0.3, ddim_steps=10, seed=1234,
+              target_img=tgt, guidance_schedule_func=lambda p: 0.4)
+    out_px, _ = F.img2img(sd, img, "a girl", "bad",
+                          guidance_space="pixel", **kw)
+    out_lat, _ = F.img2img(sd, img, "a girl", "bad",
+                           guidance_space="latent", **kw)
+    assert out_px.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out_px)).all()
+    assert float(jnp.abs(out_px).max()) <= 1.0
+    assert np.abs(np.asarray(out_px) - np.asarray(out_lat)).max() > 1e-4
