@@ -166,6 +166,14 @@ def _self_attention(p, x, n_heads, ref_kv, bias=None):
             k = jnp.concatenate([own_k, jnp.tile(rk, (b // 2, 1, 1))], axis=0)
             v = jnp.concatenate([own_v, jnp.tile(rv, (b // 2, 1, 1))], axis=0)
             n_own = captured[0].shape[1]
+            if bias is None:
+                # analytic in-kernel mask keeps the long injected
+                # sequence on the flash path (ops/attention.py)
+                from ..ops.attention import attention_injected
+                out = attention_injected(
+                    _heads(q, n_heads), _heads(k, n_heads),
+                    _heads(v, n_heads), n_own=n_own, n_uncond=b // 2)
+                return linear(p["to_out"], _merge_heads(out)), captured
             key_idx = jnp.arange(nref)
             uncond_mask = jnp.where(key_idx < n_own, 0.0, -1e9)  # [nref]
             half_bias = jnp.concatenate(

@@ -148,6 +148,52 @@ def _flash_banded_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+def _flash_keymask_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                          *, scale, block_k, kv_len, n_own, n_uncond,
+                          heads):
+    """Flash attention with the CFG KV-injection mask computed in-kernel:
+    the uncond half of the batch (rows < n_uncond) attends only to its
+    own keys (positions < n_own); the cond half sees every reference key
+    (unet.py _self_attention semantics, reference attention.py:358-369).
+    Avoids materializing the [B, 1, 1, Nk] bias and keeps the long
+    injected sequence on the flash path."""
+    g = pl.program_id(0)                       # folded batch*heads index
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, dimension=1)
+    is_uncond = (g // heads) < n_uncond
+    s = jnp.where(is_uncond & (k_pos >= n_own), -jnp.inf, s)
+    s = jnp.where(k_pos < kv_len, s, -jnp.inf)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -259,6 +305,80 @@ def flash_attention_banded(q, k, v, *, h: int, w: int, radius: int = 8,
     )(qf, kf, vf)
     out = out[:, :nq, :].reshape(b, heads, nq, d).transpose(0, 2, 1, 3)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_own", "n_uncond", "block_q", "block_k"))
+def flash_attention_keymask(q, k, v, *, n_own: int, n_uncond: int,
+                            block_q: int = DEFAULT_BLOCK_Q,
+                            block_k: int = DEFAULT_BLOCK_K):
+    """Flash attention with the CFG KV-injection key mask (see
+    :func:`_flash_keymask_kernel`). q [B, Nq, H, D]; k/v [B, Nk, H, D]."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    block_q = min(block_q, max(nq, 8))
+    block_k = min(block_k, max(nk, 8))
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    nq_p = pl.cdiv(nq, block_q) * block_q
+    nk_p = pl.cdiv(nk, block_k) * block_k
+    qf = _pad_to(qf, nq_p, 1)
+    kf = _pad_to(kf, nk_p, 1)
+    vf = _pad_to(vf, nk_p, 1)
+    grid = (b * h, nq_p // block_q, nk_p // block_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_keymask_kernel, scale=scale,
+                          block_k=block_k, kv_len=nk, n_own=n_own,
+                          n_uncond=n_uncond, heads=h),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(qf, kf, vf)
+    return out[:, :nq, :].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+
+
+def attention_injected(q, k, v, *, n_own: int, n_uncond: int,
+                       use_flash: bool | None = None):
+    """Attention for the CFG KV-injection path: the first ``n_uncond``
+    batch rows only see keys < ``n_own``. Flash path with the analytic
+    in-kernel mask on TPU long sequences; XLA with a materialized bias
+    otherwise. Head dims pad to the lane multiple like :func:`attention`."""
+    if use_flash is None:
+        import os
+        on_tpu = jax.default_backend() == "tpu"
+        use_flash = (on_tpu and q.shape[1] >= 2048
+                     and os.environ.get("SDAOF_FLASH", "1") != "0")
+    if use_flash:
+        d = q.shape[-1]
+        dp = -(-d // 64) * 64
+        if dp != d:
+            q = _pad_to(q, dp, 3) * (math.sqrt(dp) / math.sqrt(d))
+            k = _pad_to(k, dp, 3)
+            v = _pad_to(v, dp, 3)
+            out = flash_attention_keymask(q, k, v, n_own=n_own,
+                                          n_uncond=n_uncond)
+            return out[..., :d]
+        return flash_attention_keymask(q, k, v, n_own=n_own,
+                                       n_uncond=n_uncond)
+    b, nk = q.shape[0], k.shape[1]
+    key_idx = jnp.arange(nk)
+    row = jnp.where(key_idx < n_own, 0.0, -1e9)
+    bias = jnp.concatenate(
+        [jnp.tile(row[None], (n_uncond, 1)),
+         jnp.zeros((b - n_uncond, nk))], axis=0)[:, None, None, :]
+    return xla_attention(q, k, v, bias=bias)
 
 
 def attention(q, k, v, *, bias=None, use_flash: bool | None = None):

@@ -108,3 +108,35 @@ def test_flash_banded_guards():
     k = jnp.zeros((1, 25, 2, 8))   # not a multiple of h*w
     with np.testing.assert_raises(AssertionError):
         A.flash_attention_banded(q, k, k, h=3, w=4)
+
+
+def test_flash_keymask_matches_xla_bias(np_rng):
+    """The analytic KV-injection mask (uncond rows see only keys <
+    n_own) must equal xla attention with the materialized bias."""
+    import functools
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    b, nq, nk, h, d = 4, 64, 160, 2, 32
+    n_own, n_uncond = 64, 2
+    q, k, v = _rand_qkv(np_rng, b=b, nq=nq, nk=nk, h=h, d=d)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    ref = A.attention_injected(qj, kj, vj, n_own=n_own, n_uncond=n_uncond,
+                               use_flash=False)
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(pl.pallas_call, interpret=True)):
+        out = A.flash_attention_keymask(qj, kj, vj, n_own=n_own,
+                                        n_uncond=n_uncond,
+                                        block_q=32, block_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    # cond rows must actually use the reference keys: zeroing them
+    # changes cond outputs but not uncond outputs
+    k2 = kj.at[:, n_own:].set(0.0)
+    v2 = vj.at[:, n_own:].set(0.0)
+    ref2 = A.attention_injected(qj, k2, v2, n_own=n_own,
+                                n_uncond=n_uncond, use_flash=False)
+    np.testing.assert_allclose(np.asarray(ref2[:n_uncond]),
+                               np.asarray(ref[:n_uncond]), atol=1e-5)
+    assert np.abs(np.asarray(ref2[n_uncond:])
+                  - np.asarray(ref[n_uncond:])).max() > 1e-4
