@@ -110,7 +110,8 @@ def _latent_hw(img_shape):
     static_argnames=("unet_cfg", "vae_cfg", "t_enc", "ddim_steps",
                      "parameterization", "cfg_scale", "capture_kv",
                      "use_inpaint", "use_guidance", "final_composite",
-                     "control_cfgs", "tile_noise", "guidance_space"))
+                     "control_cfgs", "tile_noise", "guidance_space",
+                     "sampler"))
 def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   init_latent, ctx_cond, ctx_uncond, c_concat,
                   guidance_latent, guidance_strength, nmask, renoise_gate,
@@ -118,7 +119,7 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   t_enc, ddim_steps, parameterization,
                   cfg_scale, capture_kv, use_inpaint, use_guidance,
                   final_composite, control_cfgs=(), tile_noise=False,
-                  guidance_space="latent"):
+                  guidance_space="latent", sampler="ddim"):
     """stochastic_encode -> scanned guided DDIM -> (final composite) ->
     VAE decode. One compiled program per static signature.
 
@@ -155,6 +156,33 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
         control_residuals = [
             controlnet_apply(cp, ccfg, x_ctrl, hint, t_ctrl, ctx_ctrl)
             for (cp, hint), ccfg in zip(controls, control_cfgs)]
+
+    if sampler == "dpmpp":
+        # DPM-Solver++(2M): same UNet evals per step, usable with ~half
+        # the steps of DDIM at comparable quality (SURVEY §7 rec.)
+        assert not use_guidance, "dpmpp sampler has no guidance hooks"
+        from .. diffusion.dpm_solver import (dpmpp_2m_decode,
+                                             uniform_timesteps_desc)
+        dts = uniform_timesteps_desc(sched, ddim.timesteps[t_enc],
+                                     max(t_enc, 1))
+        decoded = dpmpp_2m_decode(
+            model_fn, sched, dts, x1, cond, uncond, cfg_scale=cfg_scale,
+            parameterization=parameterization, rng=k_decode,
+            init_latent=init_latent if use_inpaint else None,
+            nmask=nmask if use_inpaint else None,
+            renoise_gate=renoise_gate if use_inpaint else None)
+        if final_composite and nmask is not None:
+            decoded = init_latent * (1.0 - nmask) + decoded * nmask
+        kv_hist = None
+        if capture_kv:
+            ts = jnp.full((init_latent.shape[0],), 1, jnp.int32)
+            x_cap = decoded if c_concat is None else \
+                jnp.concatenate([decoded, c_concat.astype(decoded.dtype)],
+                                -1)
+            _, kv_hist = U.unet_apply(unet_params, unet_cfg, x_cap, ts,
+                                      ctx_cond, ref_kv=None)
+        img = V.decode(vae_params, vae_cfg, decoded)
+        return jnp.clip(img, -1.0, 1.0), decoded, kv_hist
 
     pixel_fns = None
     if use_guidance and guidance_space == "pixel":
@@ -207,13 +235,13 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
     static_argnames=("unet_cfg", "vae_cfg", "mask_blur", "t_enc",
                      "ddim_steps", "parameterization", "cfg_scale",
                      "capture_kv", "final_composite", "has_reference",
-                     "tile_noise", "want_init_decoded"))
+                     "tile_noise", "want_init_decoded", "sampler"))
 def _inpaint_fused(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                    image, reference_img, mask01, ctx_c, ctx_u, gates,
                    ref_kv, rng, *, mask_blur, t_enc, ddim_steps,
                    parameterization, cfg_scale, capture_kv,
                    final_composite, has_reference, tile_noise,
-                   want_init_decoded):
+                   want_init_decoded, sampler="ddim"):
     """image/reference_img [B, H, W, 3]; mask01 [B, H, W]. RNG splits and
     noise draws exactly mirror the unfused path (split(rng, 4); tiled
     [1,...] posterior noise broadcast over B — identical at B=1), so
@@ -264,7 +292,8 @@ def _inpaint_fused(unet_params, unet_cfg, vae_params, vae_cfg, sched,
         t_enc=t_enc, ddim_steps=ddim_steps,
         parameterization=parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=True, use_guidance=False,
-        final_composite=final_composite, tile_noise=tile_noise)
+        final_composite=final_composite, tile_noise=tile_noise,
+        sampler=sampler)
     init_decoded = jnp.clip(V.decode(vae_params, vae_cfg, init_latent),
                             -1, 1) if want_init_decoded else None
     return out, composited, init_decoded, kv
@@ -303,7 +332,8 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
             target_img=None, guidance_schedule_func=None,
             guidance_weight=None, cfg_scale: float = 7.0,
             seed: int = 1234, reference_kv=None, capture_kv: bool = False,
-            control_specs=(), guidance_space: str = "latent"):
+            control_specs=(), guidance_space: str = "latent",
+            sampler: str = "ddim"):
     """Plain guided img2img (guided_ldm.py:165-219).
 
     img: [1, H, W, 3] in [-1, 1]. Returns (image, kv_hist).
@@ -340,7 +370,8 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=False,
         use_guidance=use_guidance, final_composite=False,
-        control_cfgs=ccfgs, guidance_space=guidance_space)
+        control_cfgs=ccfgs, guidance_space=guidance_space,
+        sampler=sampler)
     return out, kv
 
 
@@ -388,7 +419,8 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
                     mask_blur: int = 16, guidance_schedule_func=None,
                     cfg_scale: float = 7.0, seed: int = 1234,
                     reference_kv=None, capture_kv: bool = False,
-                    control_specs=(), want_init_decoded: bool = True):
+                    control_specs=(), want_init_decoded: bool = True,
+                    sampler: str = "ddim"):
     """Masked inpainting img2img (guided_ldm_inpainting.py:261-345).
 
     image/reference_img: [1, H, W, 3] in [-1, 1]; mask: [H, W] in {0, 1}
@@ -427,7 +459,8 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
             ddim_steps=ddim_steps, parameterization=sd.parameterization,
             cfg_scale=cfg_scale, capture_kv=capture_kv,
             final_composite=last_gs > 0, has_reference=has_reference,
-            tile_noise=False, want_init_decoded=want_init_decoded)
+            tile_noise=False, want_init_decoded=want_init_decoded,
+            sampler=sampler)
         return out, composited, init_latent_decoded, kv
 
     # ControlNet path (unfused: residuals need host-prepped hints)

@@ -244,3 +244,26 @@ def test_img2img_pixel_space_guidance(bundles):
     assert np.isfinite(np.asarray(out_px)).all()
     assert float(jnp.abs(out_px).max()) <= 1.0
     assert np.abs(np.asarray(out_px) - np.asarray(out_lat)).max() > 1e-4
+
+
+def test_img2img_dpmpp_sampler(bundles):
+    sd, sd9 = bundles
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32)) * 2 - 1
+    out_dpm, _ = F.img2img(sd, img, "a girl", "bad", 0.3, ddim_steps=10,
+                           seed=1234, sampler="dpmpp")
+    out_ddim, _ = F.img2img(sd, img, "a girl", "bad", 0.3, ddim_steps=10,
+                            seed=1234)
+    assert out_dpm.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out_dpm)).all()
+    assert np.abs(np.asarray(out_dpm) - np.asarray(out_ddim)).max() > 1e-5
+
+    # inpaint path with dpmpp: runs and preserves the known region
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    ref = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32)) * 2 - 1
+    out_i, comp, _, _ = F.img2img_inpaint(
+        sd9, img, "a girl", "bad", denoising_strength=0.3, ddim_steps=10,
+        reference_img=ref, mask=jnp.asarray(mask), mask_blur=0,
+        sampler="dpmpp", want_init_decoded=False)
+    assert np.isfinite(np.asarray(out_i)).all()
