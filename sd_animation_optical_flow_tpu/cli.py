@@ -42,6 +42,9 @@ def _add_common(p):
                    help="extra positive-prompt tags")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 weights/compute (TPU fast path)")
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp"],
+                   help="dpmpp = DPM-Solver++(2M), usable at ~half the "
+                        "steps of ddim")
 
 
 def _build_models(args):
@@ -81,7 +84,8 @@ def cmd_pixel_inpaint(args):
         confidence_thres=args.confidence_thres,
         propagated_pixel_weight=args.propagated_pixel_weight,
         ddim_steps=args.ddim_steps, seed=args.seed,
-        prompt_extra=args.prompt_extra, frame_batch=args.frame_batch)
+        prompt_extra=args.prompt_extra, frame_batch=args.frame_batch,
+        sampler=args.sampler)
     if cfg.frame_batch > 1:
         from .pipelines.keyframes import FrameGenConfig, frame_generator
         gen = frame_generator(args.input, FrameGenConfig(

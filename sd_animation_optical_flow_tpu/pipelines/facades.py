@@ -567,7 +567,8 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
                           denoising_strength: float = 0.05,
                           ddim_steps: int = 50, mask_blur: int = 16,
                           guidance_schedule_func=None,
-                          cfg_scale: float = 7.0, seed: int = 1234):
+                          cfg_scale: float = 7.0, seed: int = 1234,
+                          sampler: str = "ddim"):
     """B independent masked-inpainting frames in ONE compiled program.
 
     TPU-first throughput design with no reference counterpart: inside a
@@ -602,5 +603,6 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
         mask_blur=mask_blur, t_enc=t_enc, ddim_steps=ddim_steps,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
         capture_kv=False, final_composite=last_gs > 0,
-        has_reference=True, tile_noise=True, want_init_decoded=False)
+        has_reference=True, tile_noise=True, want_init_decoded=False,
+        sampler=sampler)
     return out

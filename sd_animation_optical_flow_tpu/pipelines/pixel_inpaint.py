@@ -50,6 +50,7 @@ class PixelInpaintConfig:
     prompt_extra: str = ""
     write_vis: bool = True
     guidance_schedule_func: Callable[[float], float] = lambda p: 1.0
+    sampler: str = "ddim"        # or 'dpmpp' (DPM-Solver++ 2M)
     # >1 batches non-key frames of a keyframe segment through ONE
     # compiled flow/warp/mask/inpaint program (frames in a segment are
     # independent; outputs stay bitwise-equal to sequential fixed-seed
@@ -118,7 +119,8 @@ def keyframe_img2img(sd: F.StableDiffusionBundle, tagger: Optional[Tagger],
     prompt = _prompt_for(tagger, frame_bgr, cfg.prompt_extra)
     img, _ = F.img2img(sd, bgr_u8_to_model(frame_bgr), prompt,
                        NEGATIVE_PROMPT, cfg.denoising_strength,
-                       cfg.ddim_steps, seed=cfg.seed)
+                       cfg.ddim_steps, seed=cfg.seed,
+                       sampler=cfg.sampler)
     return model_to_bgr_u8(img)
 
 
@@ -217,7 +219,8 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
                 reference_img=bgr_u8_to_model(frame_bgr),
                 mask=mask01_d, mask_blur=cfg.mask_blur,
                 guidance_schedule_func=cfg.guidance_schedule_func,
-                seed=cfg.seed, want_init_decoded=False)
+                seed=cfg.seed, want_init_decoded=False,
+                sampler=cfg.sampler)
             raw_ai_d = model_to_bgr_f32d(img_out)
             if cfg.propagated_pixel_weight >= 0.001:
                 # propagated-pixel mix (ofgen_pixel_inpaint.py:251-260)
@@ -301,7 +304,8 @@ def _process_batch(batch, flow_pair, out_dir, reference_frame,
         sd_inpaint, imgs_model, prompts, NEGATIVE_PROMPT, mask01_d,
         refs_model, denoising_strength=cfg.denoising_strength,
         ddim_steps=cfg.ddim_steps, mask_blur=cfg.mask_blur,
-        guidance_schedule_func=cfg.guidance_schedule_func, seed=cfg.seed)
+        guidance_schedule_func=cfg.guidance_schedule_func, seed=cfg.seed,
+        sampler=cfg.sampler)
     outs_bgr = jnp.clip(outs * 127.5 + 127.5, 0, 255)[..., ::-1]
 
     if cfg.propagated_pixel_weight >= 0.001:
