@@ -194,8 +194,9 @@ def t5_encoder_apply(params, cfg: T5Config, token_ids, mask=None,
         attn = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, n, -1)
         x = x + linear(lp["o"], attn)
         h = _rms_norm(lp["norm2"], x, cfg.eps)
-        x = x + linear(lp["wo"], gelu(linear(lp["wi0"], h))
-                       * linear(lp["wi1"], h))
+        # T5 v1.1 gated-gelu uses the tanh approximation ('gelu_new')
+        gate = jax.nn.gelu(linear(lp["wi0"], h), approximate=True)
+        x = x + linear(lp["wo"], gate * linear(lp["wi1"], h))
     return _rms_norm(params["final_norm"], x, cfg.eps)
 
 

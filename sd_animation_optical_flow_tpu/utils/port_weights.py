@@ -426,3 +426,43 @@ def port_vq(sd: StateDict, cfg=None, prefix: str = "first_stage_model."
     params["quantize"] = {"embedding": _f32(emb) if emb is not None
                           else None}
     return params, missing + r.missing
+
+
+# ---------------------------------------------------------------------------
+# T5 encoder (HF t5-v1_1 naming; FrozenT5Embedder checkpoints)
+# ---------------------------------------------------------------------------
+
+def port_t5_encoder(sd: StateDict, cfg=None, prefix: str = "") -> tuple:
+    """Port a HuggingFace T5EncoderModel state dict (the reference's
+    FrozenT5Embedder loads google/t5-v1_1-*; ldm/modules/encoders/
+    modules.py:58-86) into models/text_encoders.t5_encoder_apply params.
+
+    cfg: models.text_encoders.T5Config (drives the layer walk).
+    """
+    from ..models.text_encoders import T5Config
+    cfg = cfg or T5Config()
+    r = _Reader(sd, prefix)
+    p = {
+        "token_embedding": _f32(r("shared.weight")),
+        "rel_bias": _f32(r("encoder.block.0.layer.0.SelfAttention."
+                           "relative_attention_bias.weight")),
+        "final_norm": _f32(r("encoder.final_layer_norm.weight")),
+        "layers": [],
+    }
+    for i in range(cfg.layers):
+        base = f"encoder.block.{i}"
+        p["layers"].append({
+            "norm1": _f32(r(f"{base}.layer.0.layer_norm.weight")),
+            "q": r.linear(f"{base}.layer.0.SelfAttention.q", bias=False),
+            "k": r.linear(f"{base}.layer.0.SelfAttention.k", bias=False),
+            "v": r.linear(f"{base}.layer.0.SelfAttention.v", bias=False),
+            "o": r.linear(f"{base}.layer.0.SelfAttention.o", bias=False),
+            "norm2": _f32(r(f"{base}.layer.1.layer_norm.weight")),
+            "wi0": r.linear(f"{base}.layer.1.DenseReluDense.wi_0",
+                            bias=False),
+            "wi1": r.linear(f"{base}.layer.1.DenseReluDense.wi_1",
+                            bias=False),
+            "wo": r.linear(f"{base}.layer.1.DenseReluDense.wo",
+                           bias=False),
+        })
+    return p, r.missing

@@ -256,3 +256,42 @@ def test_port_vq_roundtrip():
     q2, _, i2 = VQ.vq_encode(ported, cfg, x)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
+
+
+def test_port_t5_encoder_golden_vs_transformers():
+    """Golden parity: our T5 encoder vs transformers T5EncoderModel on a
+    tiny random-init gated-gelu (v1.1-style) config with ported weights."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    from sd_animation_optical_flow_tpu.models import text_encoders as TE
+    from sd_animation_optical_flow_tpu.utils.port_weights import \
+        port_t5_encoder
+
+    hf_cfg = HFT5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=48, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=16,
+        feed_forward_proj="gated-gelu", dropout_rate=0.0,
+        is_encoder_decoder=False, use_cache=False)
+    torch.manual_seed(0)
+    hf = T5EncoderModel(hf_cfg).eval()
+
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    cfg = TE.T5Config(vocab_size=64, d_model=32, d_kv=8, d_ff=48,
+                      heads=4, layers=2, rel_buckets=8,
+                      rel_max_distance=16)
+    params, missing = port_t5_encoder(sd, cfg)
+    assert not [m for m in missing if "embed_tokens" not in m], missing
+
+    ids = np.array([[3, 7, 12, 25, 1, 0, 0, 0]], dtype=np.int64)
+    attn = np.array([[1, 1, 1, 1, 1, 0, 0, 0]], dtype=np.int64)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(attn)
+                 ).last_hidden_state.numpy()
+    out = TE.t5_encoder_apply(params, cfg, jnp.asarray(ids),
+                              jnp.asarray(attn))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
