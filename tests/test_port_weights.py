@@ -295,3 +295,59 @@ def test_port_t5_encoder_golden_vs_transformers():
     out = TE.t5_encoder_apply(params, cfg, jnp.asarray(ids),
                               jnp.asarray(attn))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_openclip_tower_golden_vs_hf_clip():
+    """Golden parity for the OpenCLIP-style tower: HF CLIPTextModel with
+    hidden_act='gelu' (erf) has the identical block topology; penultimate
+    mode must equal hidden_states[-2] + final layer norm."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import CLIPTextConfig as HFCfg, CLIPTextModel
+
+    from sd_animation_optical_flow_tpu.models import text_encoders as TE
+
+    hf_cfg = HFCfg(vocab_size=64, hidden_size=32, intermediate_size=128,
+                   num_hidden_layers=3, num_attention_heads=4,
+                   max_position_embeddings=12, hidden_act="gelu")
+    torch.manual_seed(0)
+    hf = CLIPTextModel(hf_cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = TE.OpenCLIPTextConfig(vocab_size=64, max_position=12, width=32,
+                                layers=3, heads=4, penultimate=True)
+    pre = "text_model."
+
+    def lin(name):
+        return {"w": np.transpose(sd[pre + name + ".weight"]),
+                "b": sd[pre + name + ".bias"]}
+
+    def norm(name):
+        return {"scale": sd[pre + name + ".weight"],
+                "bias": sd[pre + name + ".bias"]}
+
+    params = {
+        "token_embedding": sd[pre + "embeddings.token_embedding.weight"],
+        "position_embedding":
+            sd[pre + "embeddings.position_embedding.weight"],
+        "ln_final": norm("final_layer_norm"),
+        "layers": [{
+            "ln1": norm(f"encoder.layers.{i}.layer_norm1"),
+            "q": lin(f"encoder.layers.{i}.self_attn.q_proj"),
+            "k": lin(f"encoder.layers.{i}.self_attn.k_proj"),
+            "v": lin(f"encoder.layers.{i}.self_attn.v_proj"),
+            "attn_out": lin(f"encoder.layers.{i}.self_attn.out_proj"),
+            "ln2": norm(f"encoder.layers.{i}.layer_norm2"),
+            "mlp_in": lin(f"encoder.layers.{i}.mlp.fc1"),
+            "mlp_out": lin(f"encoder.layers.{i}.mlp.fc2"),
+        } for i in range(3)],
+    }
+    params = jax.tree.map(jnp.asarray, params)
+
+    ids = np.array([[5, 9, 13, 2, 1, 0, 7, 3, 11, 4, 6, 8]], np.int64)
+    with torch.no_grad():
+        hs = hf(input_ids=torch.from_numpy(ids),
+                output_hidden_states=True).hidden_states
+        ref = hf.text_model.final_layer_norm(hs[-2]).numpy()
+    out = TE.openclip_text_apply(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
