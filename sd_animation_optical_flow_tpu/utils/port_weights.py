@@ -466,3 +466,38 @@ def port_t5_encoder(sd: StateDict, cfg=None, prefix: str = "") -> tuple:
                            bias=False),
         })
     return p, r.missing
+
+
+# ---------------------------------------------------------------------------
+# OpenCLIP-style text tower (HF CLIPTextModel naming)
+# ---------------------------------------------------------------------------
+
+def port_openclip_text(sd: StateDict, cfg=None,
+                       prefix: str = "text_model.") -> tuple:
+    """Port an HF-CLIP-layout text tower into
+    models/text_encoders.openclip_text_apply params (the SD-2.x
+    FrozenOpenCLIPEmbedder surface; erf-GELU blocks, penultimate mode is
+    an apply-time flag)."""
+    from ..models.text_encoders import OpenCLIPTextConfig
+    cfg = cfg or OpenCLIPTextConfig()
+    r = _Reader(sd, prefix)
+    p = {
+        "token_embedding": _f32(r("embeddings.token_embedding.weight")),
+        "position_embedding":
+            _f32(r("embeddings.position_embedding.weight")),
+        "ln_final": r.norm("final_layer_norm"),
+        "layers": [],
+    }
+    for i in range(cfg.layers):
+        base = f"encoder.layers.{i}"
+        p["layers"].append({
+            "ln1": r.norm(f"{base}.layer_norm1"),
+            "q": r.linear(f"{base}.self_attn.q_proj"),
+            "k": r.linear(f"{base}.self_attn.k_proj"),
+            "v": r.linear(f"{base}.self_attn.v_proj"),
+            "attn_out": r.linear(f"{base}.self_attn.out_proj"),
+            "ln2": r.norm(f"{base}.layer_norm2"),
+            "mlp_in": r.linear(f"{base}.mlp.fc1"),
+            "mlp_out": r.linear(f"{base}.mlp.fc2"),
+        })
+    return p, r.missing

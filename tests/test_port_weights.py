@@ -314,35 +314,12 @@ def test_openclip_tower_golden_vs_hf_clip():
     hf = CLIPTextModel(hf_cfg).eval()
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
 
+    from sd_animation_optical_flow_tpu.utils.port_weights import \
+        port_openclip_text
     cfg = TE.OpenCLIPTextConfig(vocab_size=64, max_position=12, width=32,
                                 layers=3, heads=4, penultimate=True)
-    pre = "text_model."
-
-    def lin(name):
-        return {"w": np.transpose(sd[pre + name + ".weight"]),
-                "b": sd[pre + name + ".bias"]}
-
-    def norm(name):
-        return {"scale": sd[pre + name + ".weight"],
-                "bias": sd[pre + name + ".bias"]}
-
-    params = {
-        "token_embedding": sd[pre + "embeddings.token_embedding.weight"],
-        "position_embedding":
-            sd[pre + "embeddings.position_embedding.weight"],
-        "ln_final": norm("final_layer_norm"),
-        "layers": [{
-            "ln1": norm(f"encoder.layers.{i}.layer_norm1"),
-            "q": lin(f"encoder.layers.{i}.self_attn.q_proj"),
-            "k": lin(f"encoder.layers.{i}.self_attn.k_proj"),
-            "v": lin(f"encoder.layers.{i}.self_attn.v_proj"),
-            "attn_out": lin(f"encoder.layers.{i}.self_attn.out_proj"),
-            "ln2": norm(f"encoder.layers.{i}.layer_norm2"),
-            "mlp_in": lin(f"encoder.layers.{i}.mlp.fc1"),
-            "mlp_out": lin(f"encoder.layers.{i}.mlp.fc2"),
-        } for i in range(3)],
-    }
-    params = jax.tree.map(jnp.asarray, params)
+    params, missing = port_openclip_text(sd, cfg)
+    assert not [m for m in missing if "position_ids" not in m], missing
 
     ids = np.array([[5, 9, 13, 2, 1, 0, 7, 3, 11, 4, 6, 8]], np.int64)
     with torch.no_grad():
