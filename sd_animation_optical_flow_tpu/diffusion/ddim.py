@@ -83,6 +83,7 @@ def ddim_decode(
     control_residuals=None,        # list over nets of 13-tuples (CFG batch)
     control_weights=None,          # [t_enc, n_nets]
     tile_noise: bool = False,      # draw noise once, tile over batch
+    dynamic_threshold: Optional[float] = None,  # ddim.py:242-243
 ):
     """Run t_enc guided DDIM steps from x_latent. Returns final x0 latent.
 
@@ -144,6 +145,13 @@ def ddim_decode(
         sigma_t = ddim.sigmas[index].astype(x.dtype)
 
         pred_x0 = (x - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
+
+        if dynamic_threshold is not None:
+            # thresholds pred_x0 only; dir_xt keeps the raw e_t
+            # (plms.py:216-219 semantics; base ddim.py:242 left this
+            # NotImplementedError — implemented here)
+            from .sampling_util import norm_thresholding
+            pred_x0 = norm_thresholding(pred_x0, dynamic_threshold)
 
         if use_guidance and guidance_space == "latent":
             gs = guidance_strength[i].astype(x.dtype)

@@ -21,7 +21,8 @@ def plms_decode(model_fn: Callable, sched: DiffusionSchedule,
                 ddim: DDIMParams, x: jnp.ndarray, cond: CondBundle,
                 uncond: CondBundle, t_enc: int, *,
                 cfg_scale: float = 7.0, parameterization: str = "eps",
-                rng: Optional[jax.Array] = None):
+                rng: Optional[jax.Array] = None,
+                dynamic_threshold: Optional[float] = None):
     """Run t_enc PLMS steps from DDIM index t_enc-1 down to 0."""
     if t_enc == 0:
         return x
@@ -39,6 +40,10 @@ def plms_decode(model_fn: Callable, sched: DiffusionSchedule,
         a_prev = ddim.alphas_prev[index].astype(x.dtype)
         s1m = ddim.sqrt_one_minus_alphas[index].astype(x.dtype)
         pred_x0 = (x - s1m * e_t) / jnp.sqrt(a_t)
+        if dynamic_threshold is not None:
+            # pred_x0-only rescale; dir_xt keeps raw e_t (plms.py:216-219)
+            from .sampling_util import norm_thresholding
+            pred_x0 = norm_thresholding(pred_x0, dynamic_threshold)
         dir_xt = jnp.sqrt(1.0 - a_prev) * e_t
         return jnp.sqrt(a_prev) * pred_x0 + dir_xt
 

@@ -501,3 +501,54 @@ def port_openclip_text(sd: StateDict, cfg=None,
             "mlp_out": r.linear(f"{base}.mlp.fc2"),
         })
     return p, r.missing
+
+
+# ---------------------------------------------------------------------------
+# make_it_fit: cyclic-tiling shape adaptation of old checkpoints
+# ---------------------------------------------------------------------------
+
+def fit_tensor(old: Array, new_shape: tuple) -> Array:
+    """Adapt one checkpoint tensor to ``new_shape`` by cyclic tiling of the
+    first two axes, with input-axis usage renormalization — the
+    ``make_it_fit`` loader semantics (ddpm.py:219-262). Used e.g. to load
+    a 4-channel SD UNet input conv into a 9-channel inpainting UNet.
+
+    Rank-1: out[i] = old[i % o0].
+    Rank>=2 (trailing axes must match): out[i, j] = old[i%o0, j%o1],
+    then each column j is divided by (1 + #{j' < new1 : j' % o1 == j % o1})
+    — the reference seeds its usage counter at ones (ddpm.py:245-251),
+    so the divisor is occurrence-count + 1; preserved bit-for-bit.
+    """
+    old = np.asarray(old)
+    new_shape = tuple(new_shape)
+    if old.shape == new_shape:
+        return old
+    assert len(old.shape) == len(new_shape), (old.shape, new_shape)
+    if len(new_shape) > 2:
+        assert new_shape[2:] == old.shape[2:], (old.shape, new_shape)
+    if len(new_shape) == 1:
+        return old[np.arange(new_shape[0]) % old.shape[0]]
+    rows = np.arange(new_shape[0]) % old.shape[0]
+    cols = np.arange(new_shape[1]) % old.shape[1]
+    new = old[rows][:, cols]
+    n_used_old = np.ones(old.shape[1], old.dtype)
+    np.add.at(n_used_old, cols, 1)
+    n_used = n_used_old[cols].reshape((1, -1) + (1,) * (len(new_shape) - 2))
+    return new / n_used
+
+
+def fit_state_dict(sd: StateDict, target_shapes: Dict[str, tuple],
+                   verbose: bool = False) -> StateDict:
+    """Apply ``fit_tensor`` to every checkpoint entry whose target shape
+    differs (the make_it_fit pass over named parameters, ddpm.py:219-262).
+    Entries absent from ``target_shapes`` pass through unchanged."""
+    out = {}
+    for k, v in sd.items():
+        tgt = target_shapes.get(k)
+        if tgt is not None and tuple(np.asarray(v).shape) != tuple(tgt):
+            if verbose:
+                print(f"fit_state_dict: {k} {np.asarray(v).shape} -> {tgt}")
+            out[k] = fit_tensor(v, tgt)
+        else:
+            out[k] = v
+    return out

@@ -145,3 +145,53 @@ def test_guidance_progress_matches_reference_formula():
     assert p.shape == (20,)
     np.testing.assert_allclose(p[0], (0 + 30 + 1) / 50)
     np.testing.assert_allclose(p[-1], 1.0)
+
+
+def test_norm_thresholding_matches_torch_reference():
+    """sampling_util parity: norm/spatial thresholding vs a literal torch
+    transcription of ldm/models/diffusion/sampling_util.py (NHWC here, so
+    the spatial variant reduces the trailing channel axis)."""
+    import torch
+    from sd_animation_optical_flow_tpu.diffusion import sampling_util as SU
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 4, 5, 3).astype(np.float32) * 4.0
+    value = 1.5
+
+    # torch oracle (b c h w layout)
+    xt = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+    s = xt.pow(2).flatten(1).mean(1).sqrt().clamp(min=value)
+    s = s[(...,) + (None,) * (xt.ndim - s.ndim)]
+    want = (xt * (value / s)).numpy()
+    got = np.moveaxis(np.asarray(SU.norm_thresholding(jnp.asarray(x), value)),
+                      -1, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    s2 = xt.pow(2).mean(1, keepdim=True).sqrt().clamp(min=value)
+    want2 = (xt * (value / s2)).numpy()
+    got2 = np.moveaxis(
+        np.asarray(SU.spatial_norm_thresholding(jnp.asarray(x), value)), -1, 1)
+    np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-5)
+
+
+def test_ddim_dynamic_threshold_bounds_pred_x0(rng):
+    """dynamic_threshold rescales pred_x0 toward RMS<=value each step; with
+    an oracle eps=0 model the final latent RMS cannot exceed the threshold
+    by more than the dir_xt contribution (here exactly value * sqrt(a0))."""
+    from sd_animation_optical_flow_tpu.diffusion import ddim as D
+    from sd_animation_optical_flow_tpu.diffusion.schedule import (
+        make_ddim_params, make_linear_schedule)
+
+    sched = make_linear_schedule(timesteps=100)
+    ddim = make_ddim_params(sched, 10)
+    x = jax.random.normal(rng, (1, 8, 8, 4)) * 10.0
+    cond = D.CondBundle(crossattn=jnp.zeros((1, 3, 8)))
+    model = lambda x, t, c, control=None: jnp.zeros_like(x)
+    out = D.ddim_decode(model, sched, ddim, x, cond, cond, 4,
+                        cfg_scale=1.0, dynamic_threshold=0.5)
+    rms = float(jnp.sqrt(jnp.mean(out.astype(jnp.float32) ** 2)))
+    out_raw = D.ddim_decode(model, sched, ddim, x, cond, cond, 4,
+                            cfg_scale=1.0)
+    rms_raw = float(jnp.sqrt(jnp.mean(out_raw.astype(jnp.float32) ** 2)))
+    assert rms <= 0.5 + 1e-4
+    assert rms_raw > rms

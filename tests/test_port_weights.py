@@ -328,3 +328,51 @@ def test_openclip_tower_golden_vs_hf_clip():
         ref = hf.text_model.final_layer_norm(hs[-2]).numpy()
     out = TE.openclip_text_apply(params, cfg, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# make_it_fit (fit_tensor / fit_state_dict)
+# ---------------------------------------------------------------------------
+
+def _fit_reference(old: np.ndarray, new_shape: tuple) -> np.ndarray:
+    """Literal loop transcription of the make_it_fit semantics
+    (ddpm.py:219-262) as the golden oracle."""
+    old_shape = old.shape
+    if len(new_shape) == 1:
+        out = np.empty(new_shape, old.dtype)
+        for i in range(new_shape[0]):
+            out[i] = old[i % old_shape[0]]
+        return out
+    out = np.empty(new_shape, old.dtype)
+    for i in range(new_shape[0]):
+        for j in range(new_shape[1]):
+            out[i, j] = old[i % old_shape[0], j % old_shape[1]]
+    n_used_old = np.ones(old_shape[1])
+    for j in range(new_shape[1]):
+        n_used_old[j % old_shape[1]] += 1
+    n_used_new = np.zeros(new_shape[1])
+    for j in range(new_shape[1]):
+        n_used_new[j] = n_used_old[j % old_shape[1]]
+    n_used_new = n_used_new.reshape((1, -1) + (1,) * (len(new_shape) - 2))
+    return out / n_used_new
+
+
+@pytest.mark.parametrize("old_shape,new_shape", [
+    ((4,), (9,)),
+    ((320, 4, 3, 3), (320, 9, 3, 3)),       # 4ch -> 9ch inpaint conv
+    ((8, 6), (12, 10)),
+    ((5, 7, 2), (5, 7, 2)),                  # identity
+])
+def test_fit_tensor_matches_reference_loops(old_shape, new_shape):
+    rng = np.random.RandomState(0)
+    old = rng.randn(*old_shape).astype(np.float64)
+    got = PW.fit_tensor(old, new_shape)
+    want = old if old_shape == new_shape else _fit_reference(old, new_shape)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_fit_state_dict_selective():
+    sd = {"a": np.ones((4,)), "b": np.ones((2, 2))}
+    out = PW.fit_state_dict(sd, {"a": (6,), "c": (3,)})
+    assert out["a"].shape == (6,)
+    np.testing.assert_array_equal(out["b"], sd["b"])
