@@ -404,7 +404,7 @@ def attention_injected(q, k, v, *, n_own: int, n_uncond: int,
     if use_flash is None:
         import os
         on_tpu = jax.default_backend() == "tpu"
-        use_flash = (on_tpu and q.shape[1] >= 2048
+        use_flash = (on_tpu and q.shape[1] >= 1536
                      and os.environ.get("SDAOF_FLASH", "1") != "0")
     if use_flash:
         d = q.shape[-1]
@@ -447,8 +447,11 @@ def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
         # to a 231-token prompt) the kernel is grid-overhead-bound and
         # XLA's materialized path is ~6x faster (0.065ms vs 0.42ms at
         # 6144x231 on v5e — the f32 score tensor is only ~91MB there).
-        use_flash = (on_tpu and bias is None and q.shape[1] >= 2048
-                     and k.shape[1] >= 2048
+        # >=1536 on both axes: measured crossover on v5e — flash 0.183ms
+        # vs XLA 0.455ms at 1536 tokens, but XLA 0.035ms vs flash 1.17ms
+        # at 384 (grid overhead dominates small tiles)
+        use_flash = (on_tpu and bias is None and q.shape[1] >= 1536
+                     and k.shape[1] >= 1536
                      and os.environ.get("SDAOF_FLASH", "1") != "0")
     if use_flash and bias is None:
         d = q.shape[-1]
