@@ -35,6 +35,10 @@ _LAZY = {
                 "upscale"),
     "run_pixel_inpaint": (
         "sd_animation_optical_flow_tpu.pipelines.pixel_inpaint", "run"),
+    "txt2img": ("sd_animation_optical_flow_tpu.pipelines.facades",
+                "txt2img"),
+    "img2img_invert": ("sd_animation_optical_flow_tpu.pipelines.facades",
+                       "img2img_invert"),
 }
 
 __all__ = sorted(_LAZY)

@@ -195,6 +195,26 @@ def cmd_upscale(args):
     print(f"[cli] wrote {args.output} (noise level {int(lvl[0])})")
 
 
+def cmd_txt2img(args):
+    """Text-to-image via the full-chain DDIM sampler (the vendored
+    DDIMSampler.sample surface, ddim.py:54-126)."""
+    import jax.numpy as jnp
+    from . import config as C
+    from .pipelines import facades as F
+    from .utils.images import model_to_bgr_u8, write_png
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    sd = C.create_model("sd15", args.ckpt, dtype=dtype)
+    if not args.ckpt:
+        print("[cli] no --ckpt: random weights (smoke mode)")
+    out = F.txt2img(sd, args.prompt, args.negative_prompt,
+                    height=args.height, width=args.width,
+                    ddim_steps=args.ddim_steps, cfg_scale=args.cfg_scale,
+                    seed=args.seed)
+    write_png(args.output, model_to_bgr_u8(out))
+    print(f"[cli] wrote {args.output}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="sd_animation_optical_flow_tpu",
@@ -249,6 +269,20 @@ def main(argv=None):
     _add_single_image(p5)
     p5.add_argument("--noise-level", type=int, default=None)
     p5.set_defaults(fn=cmd_upscale)
+
+    p6 = sub.add_parser("txt2img",
+                        help="generation from pure noise (full DDIM chain)")
+    p6.add_argument("-o", "--output", required=True, help="output png")
+    p6.add_argument("--ckpt", default=None)
+    p6.add_argument("--prompt", default="masterpiece,best quality")
+    p6.add_argument("--negative-prompt", default="")
+    p6.add_argument("--height", type=int, default=512)
+    p6.add_argument("--width", type=int, default=768)
+    p6.add_argument("--ddim-steps", type=int, default=50)
+    p6.add_argument("--cfg-scale", type=float, default=7.0)
+    p6.add_argument("--seed", type=int, default=1234)
+    p6.add_argument("--bf16", action="store_true")
+    p6.set_defaults(fn=cmd_txt2img)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -84,6 +84,13 @@ def ddim_decode(
     control_weights=None,          # [t_enc, n_nets]
     tile_noise: bool = False,      # draw noise once, tile over batch
     dynamic_threshold: Optional[float] = None,  # ddim.py:242-243
+    temperature: float = 1.0,      # noise multiplier (ddim.py:247)
+    noise_dropout: float = 0.0,    # dropout on the sigma noise (ddim.py:248-249)
+    cfg_schedule=None,             # per-step CFG scale [t_enc] (ucg_schedule,
+                                   # ddim.py:158-160); overrides cfg_scale
+    score_fn: Optional[Callable] = None,  # score corrector hook:
+                                   # e_t = score_fn(e_t, x, ts, i)
+                                   # (ddim.py:219-221 modify_score)
 ):
     """Run t_enc guided DDIM steps from x_latent. Returns final x0 latent.
 
@@ -132,12 +139,15 @@ def ddim_decode(
                 control = scaled if control is None else \
                     tuple(a + b for a, b in zip(control, scaled))
 
-        model_out = cfg_model_call(model_fn, x, ts, cond, uncond, cfg_scale,
+        scale_i = cfg_schedule[i] if cfg_schedule is not None else cfg_scale
+        model_out = cfg_model_call(model_fn, x, ts, cond, uncond, scale_i,
                                    control=control)
         if parameterization == "v":
             e_t = predict_eps_from_z_and_v(sched, x, ts, model_out)
         else:
             e_t = model_out
+        if score_fn is not None:
+            e_t = score_fn(e_t, x, ts, i)
 
         a_t = ddim.alphas[index].astype(x.dtype)
         a_prev = ddim.alphas_prev[index].astype(x.dtype)
@@ -170,7 +180,7 @@ def ddim_decode(
             s_g = ddim.sqrt_one_minus_alphas[idx1].astype(x.dtype)
             g_noised = a_g * guidance_latent.astype(x.dtype) + s_g * g_noise
             g_out = cfg_model_call(model_fn, g_noised, ts, cond, uncond,
-                                   cfg_scale, control=control)
+                                   scale_i, control=control)
             if parameterization == "v":
                 e_g = predict_eps_from_z_and_v(sched, g_noised, ts, g_out)
             else:
@@ -190,10 +200,14 @@ def ddim_decode(
             e_t = (x - jnp.sqrt(a_t) * pred_x0) / sqrt_1m_at
 
         dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t ** 2, 0.0)) * e_t
-        k_sig, _ = jax.random.split(key)
+        k_sig, k_drop = jax.random.split(key)
         nshape = (1,) + x.shape[1:] if tile_noise else x.shape
         noise = sigma_t * jnp.broadcast_to(
-            jax.random.normal(k_sig, nshape, x.dtype), x.shape)
+            jax.random.normal(k_sig, nshape, x.dtype), x.shape) * temperature
+        if noise_dropout > 0.0:
+            keep = jax.random.bernoulli(k_drop, 1.0 - noise_dropout,
+                                        noise.shape)
+            noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
         return x_prev, None
 
@@ -201,6 +215,103 @@ def ddim_decode(
                 "key": step_keys, "index": idxs}
     x_final, _ = jax.lax.scan(step, x_latent, scan_ins)
     return x_final
+
+
+def ddim_sample(
+    model_fn: Callable,
+    sched: DiffusionSchedule,
+    ddim: DDIMParams,
+    cond: CondBundle,
+    uncond: CondBundle,
+    *,
+    shape=None,                     # [B, h, w, C] latent shape (x_T drawn)
+    x_T: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    cfg_scale: float = 7.0,
+    parameterization: str = "eps",
+    mask: Optional[jnp.ndarray] = None,   # 1 = KEEP (re-noised) x0
+    x0: Optional[jnp.ndarray] = None,
+    temperature: float = 1.0,
+    noise_dropout: float = 0.0,
+    dynamic_threshold: Optional[float] = None,
+    cfg_schedule=None,
+    score_fn: Optional[Callable] = None,
+    tile_noise: bool = False,
+    dtype=None,
+):
+    """Full-chain DDIM sampling from pure noise — the base sampler's
+    ``sample``/``ddim_sampling`` surface (reference: ddim.py:54-179) as
+    one scan over every DDIM step.
+
+    Mask polarity matches ``sample`` (ddim.py:154-157:
+    ``img = q_sample(x0, ts) * mask + (1 - mask) * img`` — mask 1 keeps
+    the re-noised known region), which is the INVERSE of the inpaint
+    facade's nmask (guided_ldm_inpainting.py:127-129); the conversion is
+    nmask = 1 - mask.
+    """
+    if x_T is None:
+        assert shape is not None and rng is not None
+        k_T, rng = jax.random.split(rng)
+        x_T = jax.random.normal(k_T, tuple(shape),
+                                dtype or jnp.float32)
+    n_steps = int(ddim.timesteps.shape[0])
+    nmask = None if mask is None else (1.0 - mask)
+    return ddim_decode(
+        model_fn, sched, ddim, x_T, cond, uncond, n_steps,
+        cfg_scale=cfg_scale, parameterization=parameterization, rng=rng,
+        init_latent=x0, nmask=nmask,
+        dynamic_threshold=dynamic_threshold, temperature=temperature,
+        noise_dropout=noise_dropout, cfg_schedule=cfg_schedule,
+        score_fn=score_fn, tile_noise=tile_noise)
+
+
+def ddim_encode(
+    model_fn: Callable,
+    sched: DiffusionSchedule,
+    ddim: DDIMParams,
+    x0: jnp.ndarray,
+    cond: CondBundle,
+    uncond: Optional[CondBundle] = None,
+    t_enc: Optional[int] = None,
+    *,
+    cfg_scale: float = 1.0,
+    timestep_indexing: str = "index",
+):
+    """Deterministic DDIM inversion: run x0 UP the chain for ``t_enc``
+    steps (reference: ddim.py:253-298 ``encode``).
+
+    Recurrence (ddim.py:283-286):
+      x_{i+1} = sqrt(a_next/a) * x_i
+                + sqrt(a_next) * (sqrt(1/a_next - 1) - sqrt(1/a - 1)) * e_t
+    with a = ddim_alphas_prev[i], a_next = ddim_alphas[i].
+
+    ``timestep_indexing``: the reference feeds the LOOP INDEX ``i`` to the
+    model as the timestep (ddim.py:273 ``torch.full(..., i)``), not the
+    ddim timestep — 'index' preserves that quirk bit-for-bit; 'timestep'
+    feeds ddim.timesteps[i] (the arguably-intended schedule).
+    """
+    t_enc = t_enc if t_enc is not None else int(ddim.timesteps.shape[0])
+    b = x0.shape[0]
+    use_cfg = cfg_scale != 1.0 and uncond is not None
+
+    def step(x, i):
+        if timestep_indexing == "index":
+            ts = jnp.broadcast_to(i.astype(jnp.int32), (b,))
+        else:
+            ts = jnp.full((b,), ddim.timesteps[i], jnp.int32)
+        if use_cfg:
+            e_t = cfg_model_call(model_fn, x, ts, cond, uncond, cfg_scale)
+        else:
+            e_t = model_fn(x, ts, cond.crossattn, None)
+        a = ddim.alphas_prev[i].astype(x.dtype)
+        a_next = ddim.alphas[i].astype(x.dtype)
+        x_w = jnp.sqrt(a_next / a) * x
+        noise_w = jnp.sqrt(a_next) * (
+            jnp.sqrt(1.0 / a_next - 1.0) - jnp.sqrt(1.0 / a - 1.0)) * e_t
+        return x_w + noise_w, None
+
+    x_next, _ = jax.lax.scan(step, x0, jnp.arange(t_enc, dtype=jnp.int32))
+    return x_next
 
 
 def guidance_progress(t_enc: int, total_steps: int):

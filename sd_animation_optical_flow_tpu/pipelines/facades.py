@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -606,3 +607,70 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
         has_reference=True, tile_noise=True, want_init_decoded=False,
         sampler=sampler)
     return out
+
+
+# ---------------------------------------------------------------------------
+# txt2img — the base sampler's full-chain sample() surface
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet_cfg", "vae_cfg", "ddim_steps", "shape",
+                     "parameterization", "cfg_scale", "eta"))
+def _txt2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
+                  ctx_cond, ctx_uncond, rng, *, shape, ddim_steps,
+                  parameterization, cfg_scale, eta=0.0):
+    ddim = make_ddim_params_traced(sched, ddim_steps, eta=eta)
+
+    def model_fn(x, t, ctx, control=None):
+        return U.unet_apply(unet_params, unet_cfg, x, t, ctx)[0]
+
+    lat = D.ddim_sample(
+        model_fn, sched, ddim,
+        D.CondBundle(crossattn=ctx_cond), D.CondBundle(crossattn=ctx_uncond),
+        shape=shape, rng=rng, cfg_scale=cfg_scale,
+        parameterization=parameterization)
+    return jnp.clip(V.decode(vae_params, vae_cfg, lat), -1.0, 1.0)
+
+
+def txt2img(sd: StableDiffusionBundle, c_text: str, uc_text: str = "",
+            height: int = 512, width: int = 768, ddim_steps: int = 50,
+            cfg_scale: float = 7.0, eta: float = 0.0, seed: int = 1234,
+            batch: int = 1):
+    """Generation from pure noise — the DDIMSampler.sample surface the
+    reference vendors but its video pipelines never call directly
+    (reference: ddim.py:54-126). Returns [batch, H, W, 3] in [-1, 1]."""
+    rng = jax.random.PRNGKey(seed)
+    ctx_c = sd.get_learned_conditioning(c_text)
+    ctx_u = sd.get_learned_conditioning(uc_text)
+    if batch > 1:
+        ctx_c = jnp.tile(ctx_c, (batch, 1, 1))
+        ctx_u = jnp.tile(ctx_u, (batch, 1, 1))
+    f = 2 ** (len(sd.vae_cfg.ch_mult) - 1)      # VAE spatial factor (8 for SD)
+    shape = (batch, height // f, width // f, sd.vae_cfg.z_channels)
+    return _txt2img_core(
+        sd.unet_params, sd.unet_cfg, sd.vae_params, sd.vae_cfg, sd.sched,
+        ctx_c, ctx_u, rng, shape=shape, ddim_steps=ddim_steps,
+        parameterization=sd.parameterization, cfg_scale=cfg_scale, eta=eta)
+
+
+def img2img_invert(sd: StableDiffusionBundle, img, c_text: str,
+                   uc_text: str = "", t_enc: Optional[int] = None,
+                   ddim_steps: int = 50, cfg_scale: float = 1.0,
+                   seed: int = 1234, timestep_indexing: str = "index"):
+    """Deterministic DDIM inversion of an image into the noise chain
+    (reference: ddim.py:253-298 encode). Returns the encoded latent."""
+    rng = jax.random.PRNGKey(seed)
+    ctx_c = sd.get_learned_conditioning(c_text)
+    ctx_u = sd.get_learned_conditioning(uc_text)
+    lat = sd.encode_image(img, rng)
+    ddim = make_ddim_params_traced(sd.sched, ddim_steps)
+
+    def model_fn(x, t, ctx, control=None):
+        return U.unet_apply(sd.unet_params, sd.unet_cfg, x, t, ctx)[0]
+
+    return D.ddim_encode(model_fn, sd.sched, ddim, lat,
+                         D.CondBundle(crossattn=ctx_c),
+                         D.CondBundle(crossattn=ctx_u), t_enc,
+                         cfg_scale=cfg_scale,
+                         timestep_indexing=timestep_indexing)

@@ -267,3 +267,25 @@ def test_img2img_dpmpp_sampler(bundles):
         reference_img=ref, mask=jnp.asarray(mask), mask_blur=0,
         sampler="dpmpp", want_init_decoded=False)
     assert np.isfinite(np.asarray(out_i)).all()
+
+
+def test_txt2img_and_inversion(bundles):
+    """txt2img generates from pure noise (full ddim chain); inversion
+    (ddim.py:253-298 encode) round-trips an image to a finite latent of
+    the same shape."""
+    sd, _ = bundles
+    img = F.txt2img(sd, "a b c", "", height=64, width=64, ddim_steps=4,
+                    cfg_scale=3.0, seed=7)
+    assert img.shape == (1, 64, 64, 3)
+    a = np.asarray(img)
+    assert np.isfinite(a).all() and a.min() >= -1.0 and a.max() <= 1.0
+    # determinism under the same seed
+    img2 = F.txt2img(sd, "a b c", "", height=64, width=64, ddim_steps=4,
+                     cfg_scale=3.0, seed=7)
+    np.testing.assert_array_equal(a, np.asarray(img2))
+
+    src = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3) * 2 - 1,
+                      jnp.float32)
+    lat = F.img2img_invert(sd, src, "a b c", t_enc=3, ddim_steps=4)
+    assert lat.shape == (1, 32, 32, 4)   # tiny VAE is /2
+    assert np.isfinite(np.asarray(lat)).all()
