@@ -91,6 +91,9 @@ def ddim_decode(
     score_fn: Optional[Callable] = None,  # score corrector hook:
                                    # e_t = score_fn(e_t, x, ts, i)
                                    # (ddim.py:219-221 modify_score)
+    quantize_fn: Optional[Callable] = None,  # quantize_denoised hook:
+                                   # pred_x0 -> first-stage quantizer
+                                   # output (ddim.py:239-240; VQ models)
 ):
     """Run t_enc guided DDIM steps from x_latent. Returns final x0 latent.
 
@@ -155,6 +158,9 @@ def ddim_decode(
         sigma_t = ddim.sigmas[index].astype(x.dtype)
 
         pred_x0 = (x - sqrt_1m_at * e_t) / jnp.sqrt(a_t)
+
+        if quantize_fn is not None:
+            pred_x0 = quantize_fn(pred_x0)
 
         if dynamic_threshold is not None:
             # thresholds pred_x0 only; dir_xt keeps the raw e_t

@@ -280,3 +280,30 @@ def test_ddim_temperature_and_ucg_schedule(rng):
     b = D.ddim_decode(model, sched, ddim, x, cond, cond, 4,
                       cfg_scale=1.0, rng=rng)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_ddim_quantize_denoised_hook(rng):
+    """quantize_fn snaps pred_x0 to the VQ codebook each step
+    (ddim.py:239-240 quantize_denoised); with an eps=0 oracle and a
+    one-vector codebook the final latent collapses onto that vector's
+    direction."""
+    from sd_animation_optical_flow_tpu.diffusion import ddim as D
+    from sd_animation_optical_flow_tpu.diffusion.schedule import (
+        make_ddim_params, make_linear_schedule)
+    from sd_animation_optical_flow_tpu.models import vq as VQ
+
+    sched = make_linear_schedule(timesteps=100)
+    ddim = make_ddim_params(sched, 10)
+    cfg = VQ.VQConfig(n_embed=1, embed_dim=4)
+    qp = {"embedding": jnp.full((1, 4), 0.7, jnp.float32)}
+    quant = lambda z: VQ.quantize(qp, cfg, z)[0]
+
+    x = jax.random.normal(rng, (1, 8, 8, 4))
+    cond = D.CondBundle(crossattn=jnp.zeros((1, 3, 8)))
+    model = lambda x, t, c, control=None: jnp.zeros_like(x)
+    out = D.ddim_decode(model, sched, ddim, x, cond, cond, 10,
+                        cfg_scale=1.0, quantize_fn=quant)
+    # last step: x_prev = sqrt(a_prev)*q(pred_x0) + dir; a_prev(index 0)
+    # = alphas_cumprod_prev[ts0] ~ 1 and e_t = 0 -> out ~ 0.7 everywhere
+    np.testing.assert_allclose(np.asarray(out),
+                               np.full((1, 8, 8, 4), 0.7), atol=1e-2)
