@@ -307,3 +307,76 @@ def test_ddim_quantize_denoised_hook(rng):
     # = alphas_cumprod_prev[ts0] ~ 1 and e_t = 0 -> out ~ 0.7 everywhere
     np.testing.assert_allclose(np.asarray(out),
                                np.full((1, 8, 8, 4), 0.7), atol=1e-2)
+
+
+def test_ddpm_posterior_coefs_match_torch_formulas():
+    """Posterior buffers vs a literal numpy transcription of the
+    reference's register_schedule (ddpm.py:170-192, v_posterior=0)."""
+    from sd_animation_optical_flow_tpu.diffusion import ddpm_sampler as DS
+    from sd_animation_optical_flow_tpu.diffusion.schedule import (
+        make_linear_schedule)
+
+    sched = make_linear_schedule(timesteps=50)
+    pc = DS.posterior_coefs(sched)
+    betas = np.asarray(sched.betas, np.float64)
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    acp_prev = np.append(1.0, acp[:-1])
+    var = betas * (1.0 - acp_prev) / (1.0 - acp)
+    np.testing.assert_allclose(np.asarray(pc.variance), var, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(pc.mean_coef1),
+                               betas * np.sqrt(acp_prev) / (1 - acp),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(pc.mean_coef2),
+                               (1 - acp_prev) * np.sqrt(1 - betas) / (1 - acp),
+                               rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(pc.log_variance_clipped),
+        np.log(np.maximum(var, 1e-20)), rtol=1e-4)
+
+
+def test_ddpm_p_sample_loop_oracle(rng):
+    """Ancestral chain with the eps=0 oracle and clip_denoised: each step
+    x0-hat = x/sqrt(acp_t) clipped to [-1,1]; the chain stays finite and
+    the final sample is bounded by the last-step posterior (t=0 mean =
+    x0-hat, no noise)."""
+    from sd_animation_optical_flow_tpu.diffusion import ddim as D
+    from sd_animation_optical_flow_tpu.diffusion import ddpm_sampler as DS
+    from sd_animation_optical_flow_tpu.diffusion.schedule import (
+        make_linear_schedule)
+
+    sched = make_linear_schedule(timesteps=20)
+    cond = D.CondBundle(crossattn=jnp.zeros((2, 3, 8)))
+    model = lambda x, t, c, control=None: jnp.zeros_like(x)
+    out = DS.p_sample_loop(model, sched, cond, shape=(2, 8, 8, 4), rng=rng)
+    a = np.asarray(out)
+    assert a.shape == (2, 8, 8, 4)
+    assert np.isfinite(a).all()
+    assert np.abs(a).max() <= 1.0 + 1e-5     # t=0 returns clipped x0-hat
+
+    # intermediates contract
+    out2, inter = DS.p_sample_loop(model, sched, cond, shape=(1, 8, 8, 4),
+                                   rng=rng, return_intermediates=4)
+    assert inter.shape == (4, 1, 8, 8, 4)
+    np.testing.assert_array_equal(np.asarray(inter[-1]), np.asarray(out2))
+
+
+def test_ddpm_p_sample_cfg_batching(rng):
+    """CFG path: cfg_scale != 1 doubles the batch through the model; with
+    a model returning eps = c*0 the CFG combination collapses to the
+    plain path — outputs must match exactly."""
+    from sd_animation_optical_flow_tpu.diffusion import ddim as D
+    from sd_animation_optical_flow_tpu.diffusion import ddpm_sampler as DS
+    from sd_animation_optical_flow_tpu.diffusion.schedule import (
+        make_linear_schedule)
+
+    sched = make_linear_schedule(timesteps=10)
+    pc = DS.posterior_coefs(sched)
+    x = jax.random.normal(rng, (1, 4, 4, 4))
+    t = jnp.array([5], jnp.int32)
+    cond = D.CondBundle(crossattn=jnp.zeros((1, 3, 8)))
+    model = lambda x, t, c, control=None: jnp.zeros_like(x)
+    a = DS.p_sample(model, sched, pc, x, t, cond, cond, rng=rng,
+                    cfg_scale=5.0)
+    b = DS.p_sample(model, sched, pc, x, t, cond, None, rng=rng,
+                    cfg_scale=1.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
