@@ -146,3 +146,24 @@ def test_train_step_with_concat(rng):
     ctx = jnp.zeros((2, 3, 16))
     state, loss = step(state, x0, ctx, jax.random.PRNGKey(2), cc)
     assert int(state.step) == 1 and np.isfinite(float(loss))
+
+
+def test_log_images_panel_dict():
+    """log_images builds the reference's debug panel dict
+    (ddpm.py:1083-1214): all panels are uint8 HWC grids."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sd_animation_optical_flow_tpu.utils.log_images import log_images
+    from tests.test_pipeline import _tiny_bundle
+
+    sd = _tiny_bundle(jax.random.PRNGKey(3))
+    imgs = jnp.asarray(
+        np.random.RandomState(0).rand(2, 64, 64, 3) * 2 - 1, jnp.float32)
+    out = log_images(sd, imgs, ["a b", "c d"], ddim_steps=4,
+                     cfg_scale=3.0, n_diffusion_row=3)
+    for key in ("inputs", "reconstruction", "conditioning",
+                "diffusion_row", "samples", "samples_cfg_scale_3.00"):
+        assert key in out, key
+        panel = out[key]
+        assert panel.dtype == np.uint8 and panel.ndim == 3, key
