@@ -109,3 +109,41 @@ def test_facade_with_controlnet(small):
                        control_specs=[spec])
     assert out.shape == (1, 32, 32, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_hed_network_and_port_roundtrip():
+    """In-repo HED annotator (reference controlnet.py:339,349 external
+    dep): forward shapes, apply_hed uint8 contract, and a port round-trip
+    from a synthetic torch-layout state dict."""
+    import numpy as np
+    import jax
+    from sd_animation_optical_flow_tpu.models import hed as HED
+
+    params = HED.hed_init(jax.random.PRNGKey(0))
+    img = (np.random.RandomState(0).rand(64, 96, 3) * 255).astype(np.uint8)
+    edge = HED.hed_edges(params, img)
+    assert edge.shape == (64, 96) and edge.dtype == np.uint8
+
+    # synthetic torch-layout state dict -> port -> identical output
+    rng = np.random.RandomState(1)
+    sd = {"norm": rng.randn(1, 3, 1, 1).astype(np.float32)}
+    blocks = ((3, 64, 2), (64, 128, 2), (128, 256, 3),
+              (256, 512, 3), (512, 512, 3))
+    for i, (cin, cout, n) in enumerate(blocks, start=1):
+        ch = cin
+        for j in range(n):
+            sd[f"block{i}.convs.{j}.weight"] = \
+                rng.randn(cout, ch, 3, 3).astype(np.float32) * 0.05
+            sd[f"block{i}.convs.{j}.bias"] = \
+                rng.randn(cout).astype(np.float32) * 0.05
+            ch = cout
+        sd[f"block{i}.projection.weight"] = \
+            rng.randn(1, cout, 1, 1).astype(np.float32) * 0.05
+        sd[f"block{i}.projection.bias"] = rng.randn(1).astype(np.float32)
+    ported = HED.port_hed(sd)
+    edge2 = HED.hed_edges(ported, img)
+    assert edge2.shape == (64, 96)
+    # hed_fn plumbs into the hint builder
+    from sd_animation_optical_flow_tpu.models.controlnet import hed_hint
+    hint = hed_hint(img, HED.make_hed_fn(ported), batch=2)
+    assert hint.shape[0] == 2
