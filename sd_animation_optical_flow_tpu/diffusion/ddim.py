@@ -94,6 +94,13 @@ def ddim_decode(
     quantize_fn: Optional[Callable] = None,  # quantize_denoised hook:
                                    # pred_x0 -> first-stage quantizer
                                    # output (ddim.py:239-240; VQ models)
+    cfg_interval: int = 1,         # >1: recompute the uncond branch only
+                                   # every k-th step; between, reuse the
+                                   # cached (cond - uncond) difference and
+                                   # run the model at HALF batch. An
+                                   # approximation (turbo knob, off by
+                                   # default) — the uncond direction
+                                   # drifts slowly across adjacent steps.
 ):
     """Run t_enc guided DDIM steps from x_latent. Returns final x0 latent.
 
@@ -119,7 +126,8 @@ def ddim_decode(
     if use_inpaint and renoise_gate is None:
         renoise_gate = jnp.ones((t_enc,), jnp.float32)
 
-    def step(x, scan_in):
+    def step(carry, scan_in):
+        x, cfg_diff = carry
         i, key, index = scan_in["i"], scan_in["key"], scan_in["index"]
         ts = jnp.full((b,), ddim.timesteps[index], jnp.int32)
 
@@ -143,8 +151,38 @@ def ddim_decode(
                     tuple(a + b for a, b in zip(control, scaled))
 
         scale_i = cfg_schedule[i] if cfg_schedule is not None else cfg_scale
-        model_out = cfg_model_call(model_fn, x, ts, cond, uncond, scale_i,
-                                   control=control)
+        if cfg_interval > 1:
+            # CFG caching: e = e_u + s(e_c - e_u) = e_c + (s-1)(e_c - e_u);
+            # full steps refresh the cached difference, cached steps run
+            # only the cond branch (half batch through the UNet).
+            def _full(_):
+                x_in = jnp.concatenate([x, x], axis=0)
+                t_in = jnp.concatenate([ts, ts], axis=0)
+                ctx = jnp.concatenate([uncond.crossattn, cond.crossattn], 0)
+                if cond.concat is not None:
+                    cc = jnp.concatenate([uncond.concat, cond.concat], 0)
+                    x_in = jnp.concatenate([x_in, cc.astype(x_in.dtype)], -1)
+                out = model_fn(x_in, t_in, ctx, control)
+                o_u, o_c = jnp.split(out, 2, axis=0)
+                return o_c, o_c - o_u
+
+            def _cached(_):
+                x_in = x
+                if cond.concat is not None:
+                    x_in = jnp.concatenate(
+                        [x, cond.concat.astype(x.dtype)], -1)
+                ctrl_c = None if control is None else \
+                    tuple(r[r.shape[0] // 2:] for r in control)
+                o_c = model_fn(x_in, ts, cond.crossattn, ctrl_c)
+                return o_c, cfg_diff
+
+            o_c, new_diff = jax.lax.cond(i % cfg_interval == 0,
+                                         _full, _cached, None)
+            model_out = o_c + (scale_i - 1.0) * new_diff
+        else:
+            new_diff = cfg_diff
+            model_out = cfg_model_call(model_fn, x, ts, cond, uncond,
+                                       scale_i, control=control)
         if parameterization == "v":
             e_t = predict_eps_from_z_and_v(sched, x, ts, model_out)
         else:
@@ -215,11 +253,12 @@ def ddim_decode(
                                         noise.shape)
             noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-        return x_prev, None
+        return (x_prev, new_diff), None
 
     scan_ins = {"i": jnp.arange(t_enc, dtype=jnp.int32),
                 "key": step_keys, "index": idxs}
-    x_final, _ = jax.lax.scan(step, x_latent, scan_ins)
+    diff0 = jnp.zeros_like(x_latent)    # refreshed at i=0 (always full)
+    (x_final, _), _ = jax.lax.scan(step, (x_latent, diff0), scan_ins)
     return x_final
 
 

@@ -112,7 +112,7 @@ def _latent_hw(img_shape):
                      "parameterization", "cfg_scale", "capture_kv",
                      "use_inpaint", "use_guidance", "final_composite",
                      "control_cfgs", "tile_noise", "guidance_space",
-                     "sampler"))
+                     "sampler", "cfg_interval"))
 def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   init_latent, ctx_cond, ctx_uncond, c_concat,
                   guidance_latent, guidance_strength, nmask, renoise_gate,
@@ -120,7 +120,8 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   t_enc, ddim_steps, parameterization,
                   cfg_scale, capture_kv, use_inpaint, use_guidance,
                   final_composite, control_cfgs=(), tile_noise=False,
-                  guidance_space="latent", sampler="ddim"):
+                  guidance_space="latent", sampler="ddim",
+                  cfg_interval=1):
     """stochastic_encode -> scanned guided DDIM -> (final composite) ->
     VAE decode. One compiled program per static signature.
 
@@ -202,6 +203,7 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
         init_latent=init_latent if use_inpaint else None,
         nmask=nmask if use_inpaint else None,
         renoise_gate=renoise_gate if use_inpaint else None,
+        cfg_interval=cfg_interval,
         control_residuals=control_residuals,
         control_weights=control_weights,
         tile_noise=tile_noise)
@@ -334,7 +336,7 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
             guidance_weight=None, cfg_scale: float = 7.0,
             seed: int = 1234, reference_kv=None, capture_kv: bool = False,
             control_specs=(), guidance_space: str = "latent",
-            sampler: str = "ddim"):
+            sampler: str = "ddim", cfg_interval: int = 1):
     """Plain guided img2img (guided_ldm.py:165-219).
 
     img: [1, H, W, 3] in [-1, 1]. Returns (image, kv_hist).
@@ -372,7 +374,7 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
         capture_kv=capture_kv, use_inpaint=False,
         use_guidance=use_guidance, final_composite=False,
         control_cfgs=ccfgs, guidance_space=guidance_space,
-        sampler=sampler)
+        sampler=sampler, cfg_interval=cfg_interval)
     return out, kv
 
 

@@ -380,3 +380,48 @@ def test_ddpm_p_sample_cfg_batching(rng):
     b = DS.p_sample(model, sched, pc, x, t, cond, None, rng=rng,
                     cfg_scale=1.0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_cfg_interval_caching(rng):
+    """cfg_interval=1 vs >1: with a model whose cond/uncond difference is
+    CONSTANT in t, caching the difference is exact — outputs match the
+    full CFG path bitwise; with interval covering all steps only one
+    full-batch call happens (checked via call counting)."""
+    from sd_animation_optical_flow_tpu.diffusion import ddim as D
+    from sd_animation_optical_flow_tpu.diffusion.schedule import (
+        make_ddim_params, make_linear_schedule)
+
+    sched = make_linear_schedule(timesteps=100)
+    ddim = make_ddim_params(sched, 10)
+    x = jax.random.normal(rng, (1, 8, 8, 4))
+    c1 = D.CondBundle(crossattn=jnp.ones((1, 3, 8)))
+    c0 = D.CondBundle(crossattn=jnp.zeros((1, 3, 8)))
+
+    # eps = per-sample mean(ctx) * 0.1: cond/uncond diff independent of x, t
+    def model(xx, tt, cc, control=None):
+        m = 0.1 * jnp.mean(cc, axis=(1, 2))          # [B]
+        return jnp.zeros_like(xx) + m[:, None, None, None]
+
+    full = D.ddim_decode(model, sched, ddim, x, c1, c0, 6, cfg_scale=4.0,
+                         rng=rng)
+    cached = D.ddim_decode(model, sched, ddim, x, c1, c0, 6, cfg_scale=4.0,
+                           rng=rng, cfg_interval=3)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(cached),
+                               atol=1e-6)
+
+    # the cached path actually runs half-batch calls between refreshes
+    calls = {"full": 0, "half": 0}
+
+    def counting_model(xx, tt, cc, control=None):
+        if xx.shape[0] == 2:
+            calls["full"] += 1
+        else:
+            calls["half"] += 1
+        return jnp.zeros_like(xx)
+
+    # trace-time counting: run WITHOUT jit by calling step math directly
+    # through the public API (scan traces each branch once; we only check
+    # both branches exist in the traced program)
+    D.ddim_decode(counting_model, sched, ddim, x, c1, c0, 4,
+                  cfg_scale=4.0, rng=rng, cfg_interval=2)
+    assert calls["full"] >= 1 and calls["half"] >= 1
