@@ -94,9 +94,15 @@ def _flow_conf_batch(params, cfg: FlowConfidenceConfig, src, tgt,
 class FlowConfidenceEstimator:
     """Drop-in ``calc`` / ``calc_batch`` provider (pdcnet_of.py API)."""
 
-    def __init__(self, params, cfg: FlowConfidenceConfig = FlowConfidenceConfig()):
+    def __init__(self, params, cfg: FlowConfidenceConfig = FlowConfidenceConfig(),
+                 chunk: int = 1):
         self.params = params
         self.cfg = cfg
+        # pairs per compiled RAFT call. 1 is FASTEST per pair on v5e
+        # (302/444/502 ms/pair at chunk 1/2/4 — the correlation tables
+        # and windowed gathers lose efficiency as the batch grows);
+        # chunked calls dispatch async so the device queue stays full.
+        self.chunk = max(chunk, 1)
 
     def calc(self, frame_src, frame_tgt):
         """frame_* [H, W, 3] RGB uint8/float arrays.
@@ -123,6 +129,16 @@ class FlowConfidenceEstimator:
         tgt = jnp.asarray(tgt, jnp.float32)
         src_p, (h, w) = pad_to_multiple(src, 8)
         tgt_p, _ = pad_to_multiple(tgt, 8)
-        flow, conf, log_conf = _flow_conf_batch(self.params, self.cfg,
-                                                src_p, tgt_p)
+        b = src_p.shape[0]
+        if b <= self.chunk:
+            flow, conf, log_conf = _flow_conf_batch(self.params, self.cfg,
+                                                    src_p, tgt_p)
+        else:
+            parts = [_flow_conf_batch(self.params, self.cfg,
+                                      src_p[i:i + self.chunk],
+                                      tgt_p[i:i + self.chunk])
+                     for i in range(0, b, self.chunk)]
+            flow = jnp.concatenate([p[0] for p in parts], axis=0)
+            conf = jnp.concatenate([p[1] for p in parts], axis=0)
+            log_conf = jnp.concatenate([p[2] for p in parts], axis=0)
         return flow[:, :h, :w], conf[:, :h, :w], log_conf[:, :h, :w]

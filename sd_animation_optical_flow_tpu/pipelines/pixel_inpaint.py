@@ -164,9 +164,10 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
     pending_flow = None   # device arrays for the current frame, if prefetched
 
     def dispatch_flow(ref_bgr, cur_bgr):
-        return flow_estimator.calc_batch_device(
-            ref_bgr[None, ..., ::-1].astype(np.float32),
-            cur_bgr[None, ..., ::-1].astype(np.float32))
+        # uint8 upload; BGR->RGB flip and f32 cast on device
+        ref_d = jnp.asarray(ref_bgr)[None, ..., ::-1].astype(jnp.float32)
+        cur_d = jnp.asarray(cur_bgr)[None, ..., ::-1].astype(jnp.float32)
+        return flow_estimator.calc_batch_device(ref_d, cur_d)
 
     for (frame_bgr, is_key, counter), nxt in _lookahead(frames):
         if is_key:
@@ -202,7 +203,7 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
             # (SURVEY §3.1 boundary notes).
             if reference_ai_d is None:
                 reference_ai_d = jnp.asarray(
-                    reference_ai_frame.astype(np.float32))
+                    reference_ai_frame).astype(jnp.float32)
             warped_d = jnp.clip(warp_frame(reference_ai_d, flow_d[0]),
                                 0.0, 255.0)
             mask01_d = dilate(
@@ -268,13 +269,19 @@ def run_video(video_path: str, save_dir: str, sd, sd_inpaint,
 
 def _dispatch_batch_flow(batch, reference_frame, flow_estimator):
     """Async flow dispatch for a batch (device arrays, no host sync) —
-    lets the next batch's flow overlap the current batch's denoise."""
-    frames = np.stack([f for f, _ in batch])
-    src = np.broadcast_to(reference_frame[None, ..., ::-1],
-                          frames.shape).astype(np.float32)
-    flow_d, conf_d, _ = flow_estimator.calc_batch_device(
-        src, frames[..., ::-1].astype(np.float32))
-    return flow_d, conf_d
+    lets the next batch's flow overlap the current batch's denoise.
+
+    Transfer economy: the axon link runs ~80 MB/s with ~40ms RTT, so
+    frames ship ONCE as uint8 (4x smaller than f32) and every layout /
+    dtype conversion happens on-device; the returned device frames are
+    reused by the inpaint stage (no second upload)."""
+    frames_u8_d = jnp.asarray(np.stack([f for f, _ in batch]))  # u8 BGR
+    ref_u8_d = jnp.asarray(reference_frame)                     # u8 BGR
+    tgt = frames_u8_d[..., ::-1].astype(jnp.float32)
+    src = jnp.broadcast_to(ref_u8_d[None, ..., ::-1].astype(jnp.float32),
+                           tgt.shape)
+    flow_d, conf_d, _ = flow_estimator.calc_batch_device(src, tgt)
+    return flow_d, conf_d, frames_u8_d
 
 
 def _process_batch(batch, flow_pair, out_dir, reference_frame,
@@ -285,10 +292,10 @@ def _process_batch(batch, flow_pair, out_dir, reference_frame,
     per-frame PNGs."""
     import jax
 
-    frames = np.stack([f for f, _ in batch])
-    flow_d, conf_d = flow_pair
+    flow_d, conf_d, frames_u8_d = flow_pair
 
-    ref_ai_d = jnp.asarray(reference_ai_frame.astype(np.float32))
+    # AI keyframe uploads as uint8 once per segment; conversions on-device
+    ref_ai_d = jnp.asarray(reference_ai_frame).astype(jnp.float32)
     warped_d = jnp.clip(
         jax.vmap(lambda fl: warp_frame(ref_ai_d, fl))(flow_d),
         0.0, 255.0)                                          # [B,H,W,3] BGR
@@ -298,8 +305,7 @@ def _process_batch(batch, flow_pair, out_dir, reference_frame,
 
     prompts = [_prompt_for(tagger, f, cfg.prompt_extra) for f, _ in batch]
     imgs_model = warped_d[..., ::-1] / 127.5 - 1.0
-    refs_model = jnp.asarray(
-        frames[..., ::-1].astype(np.float32)) / 127.5 - 1.0
+    refs_model = frames_u8_d[..., ::-1].astype(jnp.float32) / 127.5 - 1.0
     outs = F.img2img_inpaint_batch(
         sd_inpaint, imgs_model, prompts, NEGATIVE_PROMPT, mask01_d,
         refs_model, denoising_strength=cfg.denoising_strength,
@@ -313,7 +319,9 @@ def _process_batch(batch, flow_pair, out_dir, reference_frame,
                       1.0 - cfg.propagated_pixel_weight)[..., None]
         outs_bgr = outs_bgr * (1.0 - w) + warped_d * w
 
-    outs_u8 = np.clip(np.asarray(outs_bgr), 0, 255).astype(np.uint8)
+    # clip + truncate on device, pull uint8 (same helper as run() for
+    # bitwise-identical converted frames)
+    outs_u8 = bgr_f32_to_u8(outs_bgr)
     for i, (frame_bgr, counter) in enumerate(batch):
         write_png(f"{out_dir}/converted_{counter:06d}.png", outs_u8[i])
         if cfg.write_vis:

@@ -14,9 +14,12 @@ import jax.numpy as jnp
 
 
 def bgr_u8_to_model(img_bgr: np.ndarray) -> jnp.ndarray:
-    """[H, W, 3] BGR uint8 -> [1, H, W, 3] RGB float32 in [-1, 1]."""
-    rgb = img_bgr[..., ::-1].astype(np.float32) / 127.5 - 1.0
-    return jnp.asarray(rgb)[None]
+    """[H, W, 3] BGR uint8 -> [1, H, W, 3] RGB float32 in [-1, 1].
+
+    Uploads the uint8 bytes and converts on-device (4x less traffic on
+    the ~80MB/s axon link than shipping f32)."""
+    d = jnp.asarray(img_bgr)
+    return (d[..., ::-1].astype(jnp.float32) / 127.5 - 1.0)[None]
 
 
 def model_to_bgr_u8(img) -> np.ndarray:
@@ -45,8 +48,15 @@ def model_to_bgr_f32d(img) -> jnp.ndarray:
 
 def bgr_f32_to_u8(img_bgr_d) -> np.ndarray:
     """Pull a device BGR float frame to a host uint8 image (the single
-    host sync per streamed frame)."""
-    return np.clip(np.asarray(img_bgr_d), 0, 255).astype(np.uint8)
+    host sync per streamed frame). The clip + truncating cast happens
+    ON DEVICE so the link carries uint8 (4x less traffic on the ~80MB/s
+    axon tunnel); jnp.floor reproduces numpy's astype(uint8) truncation
+    bit-for-bit for the non-negative clipped range."""
+    img_bgr_d = jnp.asarray(img_bgr_d)
+    if img_bgr_d.dtype == jnp.uint8:
+        return np.asarray(img_bgr_d)
+    u8 = jnp.floor(jnp.clip(img_bgr_d, 0, 255)).astype(jnp.uint8)
+    return np.asarray(u8)
 
 
 def write_png(path: str, img_bgr: np.ndarray):
