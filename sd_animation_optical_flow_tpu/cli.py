@@ -215,6 +215,33 @@ def cmd_txt2img(args):
     print(f"[cli] wrote {args.output}")
 
 
+def cmd_port(args):
+    """One-shot weight porting: torch .ckpt/.safetensors -> on-disk JAX
+    pytrees (SURVEY §5: 'one weight-porting tool safetensors->JAX
+    pytrees'). Later runs load the ported trees directly instead of
+    re-mapping the torch names each time."""
+    import os
+    import jax.numpy as jnp
+    from . import config as C
+    from .utils import checkpoint as CK
+
+    sd_bundle = C.create_model(args.spec, args.ckpt,
+                               dtype=jnp.bfloat16 if args.bf16
+                               else jnp.float32)
+    os.makedirs(args.output, exist_ok=True)
+    for name, tree in (("unet", sd_bundle.unet_params),
+                       ("vae", sd_bundle.vae_params),
+                       ("clip", sd_bundle.clip_params)):
+        path = os.path.join(args.output, f"{name}.npz")
+        CK.save_pytree(path, tree)
+        print(f"[cli] wrote {path}")
+    if args.raft_ckpt:
+        from .utils.port_weights import load_state_dict, port_raft
+        raft_p, missing = port_raft(load_state_dict(args.raft_ckpt))
+        CK.save_pytree(os.path.join(args.output, "raft.npz"), raft_p)
+        print(f"[cli] wrote raft.npz ({len(missing)} missing keys)")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="sd_animation_optical_flow_tpu",
@@ -283,6 +310,16 @@ def main(argv=None):
     p6.add_argument("--seed", type=int, default=1234)
     p6.add_argument("--bf16", action="store_true")
     p6.set_defaults(fn=cmd_txt2img)
+
+    p7 = sub.add_parser("port", help="port torch checkpoints to JAX "
+                                     "pytree files")
+    p7.add_argument("--spec", default="sd15",
+                    help="builtin name or YAML (ours or reference schema)")
+    p7.add_argument("--ckpt", default=None, help="torch .ckpt/.safetensors")
+    p7.add_argument("--raft-ckpt", default=None)
+    p7.add_argument("-o", "--output", required=True, help="output dir")
+    p7.add_argument("--bf16", action="store_true")
+    p7.set_defaults(fn=cmd_port)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -178,3 +178,27 @@ def test_stage_timer():
     s = t.summary()
     assert s["a"]["calls"] == 2
     json.loads(t.report())
+
+
+def test_cli_port_writes_pytrees(tmp_path):
+    """`port` CLI: builds the (random-weight) bundle for a spec and
+    writes unet/vae/clip npz pytrees loadable via utils.checkpoint."""
+    import jax
+    from sd_animation_optical_flow_tpu import cli as CLI
+    from sd_animation_optical_flow_tpu.utils import checkpoint as CK
+    from sd_animation_optical_flow_tpu import config as C
+
+    # tiny native-schema YAML so the port is fast
+    spec = tmp_path / "tiny.yaml"
+    spec.write_text(
+        "unet: {model_channels: 16, channel_mult: [1, 2], "
+        "attention_resolutions: [1], num_heads: 2, context_dim: 32}\n"
+        "vae: {ch: 16, ch_mult: [1, 2], num_res_blocks: 1}\n"
+        "clip: {vocab_size: 128, width: 32, layers: 1, heads: 2}\n")
+    out = tmp_path / "ported"
+    CLI.main(["port", "--spec", str(spec), "-o", str(out)])
+    for name in ("unet", "vae", "clip"):
+        assert (out / f"{name}.npz").exists(), name
+    sd = C.create_model(str(spec))
+    loaded = CK.load_pytree(str(out / "unet.npz"), sd.unet_params)
+    assert jax.tree.structure(loaded) == jax.tree.structure(sd.unet_params)
