@@ -95,14 +95,17 @@ class FlowConfidenceEstimator:
     """Drop-in ``calc`` / ``calc_batch`` provider (pdcnet_of.py API)."""
 
     def __init__(self, params, cfg: FlowConfidenceConfig = FlowConfidenceConfig(),
-                 chunk: int = 1):
+                 chunk: int = 0):
         self.params = params
         self.cfg = cfg
-        # pairs per compiled RAFT call. 1 is FASTEST per pair on v5e
-        # (302/444/502 ms/pair at chunk 1/2/4 — the correlation tables
-        # and windowed gathers lose efficiency as the batch grows);
-        # chunked calls dispatch async so the device queue stays full.
-        self.chunk = max(chunk, 1)
+        # pairs per compiled RAFT call; 0 = whole batch in one program
+        # (default). Isolated per-pair device time IS lower at chunk 1
+        # (302/444/502 ms/pair at batch 1/2/4 — gathers lose efficiency
+        # as the tables grow), but in the full pipeline the sequential
+        # small dispatches leave queue bubbles on the tunnel and one big
+        # program wins end to end (0.594/0.627/0.682 f/s at chunk
+        # 1/2/off on the 13-frame pipeline benchmark).
+        self.chunk = max(chunk, 0)
 
     def calc(self, frame_src, frame_tgt):
         """frame_* [H, W, 3] RGB uint8/float arrays.
@@ -130,7 +133,7 @@ class FlowConfidenceEstimator:
         src_p, (h, w) = pad_to_multiple(src, 8)
         tgt_p, _ = pad_to_multiple(tgt, 8)
         b = src_p.shape[0]
-        if b <= self.chunk:
+        if self.chunk == 0 or b <= self.chunk:
             flow, conf, log_conf = _flow_conf_batch(self.params, self.cfg,
                                                     src_p, tgt_p)
         else:
