@@ -101,6 +101,15 @@ def ddim_decode(
                                    # approximation (turbo knob, off by
                                    # default) — the uncond direction
                                    # drifts slowly across adjacent steps.
+    # --- DeepCache (turbo knob, off by default) ---
+    deepcache_interval: int = 0,   # >0: full UNet every k-th step; between,
+                                   # reuse the deep-segment feature and run
+                                   # only the shallow blocks (the deep UNet
+                                   # drifts slowly across adjacent steps)
+    deepcache_fns=None,            # (full_fn(x,t,ctx)->(out,deep),
+                                   #  cached_fn(x,t,ctx,deep)->out), both
+                                   # over the CFG-doubled batch
+    deepcache_init=None,           # zeros of the deep feature shape
 ):
     """Run t_enc guided DDIM steps from x_latent. Returns final x0 latent.
 
@@ -126,8 +135,13 @@ def ddim_decode(
     if use_inpaint and renoise_gate is None:
         renoise_gate = jnp.ones((t_enc,), jnp.float32)
 
+    use_deepcache = deepcache_interval > 0
+    if use_deepcache:
+        assert deepcache_fns is not None and deepcache_init is not None
+        assert cfg_interval == 1, "deepcache and cfg caching don't compose"
+
     def step(carry, scan_in):
-        x, cfg_diff = carry
+        x, cfg_diff, dc = carry
         i, key, index = scan_in["i"], scan_in["key"], scan_in["index"]
         ts = jnp.full((b,), ddim.timesteps[index], jnp.int32)
 
@@ -151,7 +165,28 @@ def ddim_decode(
                     tuple(a + b for a, b in zip(control, scaled))
 
         scale_i = cfg_schedule[i] if cfg_schedule is not None else cfg_scale
-        if cfg_interval > 1:
+        new_dc = dc
+        if use_deepcache:
+            x_in = jnp.concatenate([x, x], axis=0)
+            t_in = jnp.concatenate([ts, ts], axis=0)
+            ctx2 = jnp.concatenate([uncond.crossattn, cond.crossattn], 0)
+            if cond.concat is not None:
+                cc = jnp.concatenate([uncond.concat, cond.concat], 0)
+                x_in = jnp.concatenate([x_in, cc.astype(x_in.dtype)], -1)
+            full_fn, cached_fn = deepcache_fns
+
+            def _full(_):
+                return full_fn(x_in, t_in, ctx2)
+
+            def _cached(_):
+                return cached_fn(x_in, t_in, ctx2, dc), dc
+
+            out2, new_dc = jax.lax.cond(i % deepcache_interval == 0,
+                                        _full, _cached, None)
+            o_u, o_c = jnp.split(out2, 2, axis=0)
+            model_out = o_u + scale_i * (o_c - o_u)
+            new_diff = cfg_diff
+        elif cfg_interval > 1:
             # CFG caching: e = e_u + s(e_c - e_u) = e_c + (s-1)(e_c - e_u);
             # full steps refresh the cached difference, cached steps run
             # only the cond branch (half batch through the UNet).
@@ -253,12 +288,15 @@ def ddim_decode(
                                         noise.shape)
             noise = jnp.where(keep, noise / (1.0 - noise_dropout), 0.0)
         x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
-        return (x_prev, new_diff), None
+        return (x_prev, new_diff, new_dc), None
 
     scan_ins = {"i": jnp.arange(t_enc, dtype=jnp.int32),
                 "key": step_keys, "index": idxs}
     diff0 = jnp.zeros_like(x_latent)    # refreshed at i=0 (always full)
-    (x_final, _), _ = jax.lax.scan(step, (x_latent, diff0), scan_ins)
+    dc0 = deepcache_init if deepcache_init is not None \
+        else jnp.zeros((1,), x_latent.dtype)
+    (x_final, _, _), _ = jax.lax.scan(step, (x_latent, diff0, dc0),
+                                      scan_ins)
     return x_final
 
 

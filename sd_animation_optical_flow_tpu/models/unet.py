@@ -382,3 +382,100 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
     h = swish(group_norm(params["out"]["norm"], h))
     out = conv2d(params["out"]["conv"], h)
     return out, tuple(kv_hist)
+
+
+def unet_apply_deepcache(params, cfg: UNetConfig, x, timesteps, context,
+                         *, deep_cache=None, want_deep_cache: bool = False,
+                         cache_blocks: Optional[int] = None):
+    """DeepCache-style partial forward (training-free step acceleration).
+
+    The deep segment of the UNet (levels >= 1 + middle) changes slowly
+    across adjacent denoise steps; ``want_deep_cache=True`` runs the full
+    net and ALSO returns the feature entering the shallowest decoder
+    stage; ``deep_cache=<that feature>`` skips the deep segment entirely,
+    computing only the shallow encoder blocks (for their skips) and the
+    shallow decoder blocks. ``cache_blocks`` = number of leading input
+    blocks treated as shallow (default num_res_blocks+1, i.e. the whole
+    level-0 stage). No ref_kv/ControlNet/adm support on this path — it
+    serves the plain img2img turbo mode.
+
+    Returns (out, deep_feat) — deep_feat is the cached-or-captured deep
+    feature (pass-through when ``deep_cache`` given).
+    """
+    assert len(cfg.channel_mult) >= 2, "deepcache needs >=2 UNet levels"
+    cb = cache_blocks or (cfg.num_res_blocks + 1)
+    nh = cfg.num_heads
+    t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=x.dtype)
+    emb = linear(params["time_embed"][1],
+                 swish(linear(params["time_embed"][0], t_emb)))
+
+    def run_block(blk, h, layer):
+        if "conv" in blk:
+            return conv2d(blk["conv"], h), layer
+        if "down" in blk:
+            return conv2d(blk["down"], h, stride=2, padding=1), layer
+        h = _resblock(blk["res"], h, emb)
+        if "transformer" in blk:
+            h, _ = _spatial_transformer(blk["transformer"], h, context,
+                                        nh, None)
+            layer += 1
+        return h, layer
+
+    layer = 0
+    hs = []
+    h = x
+    for blk in params["input_blocks"][:cb]:
+        h, layer = run_block(blk, h, layer)
+        hs.append(h)
+
+    out_blocks = params["output_blocks"]
+    # the tail consumes exactly the shallow skips hs[0..cb-1]; SD-1.5
+    # with cb=3: tail = the 3 level-0 decoder blocks
+    tail = out_blocks[-cb:]
+
+    if deep_cache is None:
+        # full pass through the deep segment, capturing its output
+        for blk in params["input_blocks"][cb:]:
+            h, layer = run_block(blk, h, layer)
+            hs.append(h)
+        h = _resblock(params["middle"]["res1"], h, emb)
+        h, _ = _spatial_transformer(params["middle"]["transformer"], h,
+                                    context, nh, None)
+        h = _resblock(params["middle"]["res2"], h, emb)
+        for blk in out_blocks[:len(out_blocks) - cb]:
+            skip = hs.pop()
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = _resblock(blk["res"], h, emb)
+            if "transformer" in blk:
+                h, _ = _spatial_transformer(blk["transformer"], h,
+                                            context, nh, None)
+            if "up" in blk:
+                h = nearest_upsample2x(h)
+                h = conv2d(blk["up"], h)
+        deep_feat = h
+    else:
+        deep_feat = deep_cache
+        h = deep_cache.astype(x.dtype)
+
+    for blk in tail:
+        skip = hs.pop()
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = _resblock(blk["res"], h, emb)
+        if "transformer" in blk:
+            h, _ = _spatial_transformer(blk["transformer"], h, context,
+                                        nh, None)
+        if "up" in blk:
+            h = nearest_upsample2x(h)
+            h = conv2d(blk["up"], h)
+
+    h = swish(group_norm(params["out"]["norm"], h))
+    out = conv2d(params["out"]["conv"], h)
+    return out, deep_feat
+
+
+def deepcache_feat_shape(cfg: UNetConfig, batch: int, h: int, w: int,
+                         cache_blocks: Optional[int] = None):
+    """Shape of the cached deep feature for :func:`unet_apply_deepcache`
+    at latent resolution (h, w): the upsampled level-1 decoder output."""
+    ch = cfg.model_channels * cfg.channel_mult[1]
+    return (batch, h, w, ch)

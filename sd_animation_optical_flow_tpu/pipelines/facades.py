@@ -112,7 +112,7 @@ def _latent_hw(img_shape):
                      "parameterization", "cfg_scale", "capture_kv",
                      "use_inpaint", "use_guidance", "final_composite",
                      "control_cfgs", "tile_noise", "guidance_space",
-                     "sampler", "cfg_interval"))
+                     "sampler", "cfg_interval", "deepcache_interval"))
 def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   init_latent, ctx_cond, ctx_uncond, c_concat,
                   guidance_latent, guidance_strength, nmask, renoise_gate,
@@ -121,7 +121,7 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   cfg_scale, capture_kv, use_inpaint, use_guidance,
                   final_composite, control_cfgs=(), tile_noise=False,
                   guidance_space="latent", sampler="ddim",
-                  cfg_interval=1):
+                  cfg_interval=1, deepcache_interval=0):
     """stochastic_encode -> scanned guided DDIM -> (final composite) ->
     VAE decode. One compiled program per static signature.
 
@@ -204,6 +204,9 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
         nmask=nmask if use_inpaint else None,
         renoise_gate=renoise_gate if use_inpaint else None,
         cfg_interval=cfg_interval,
+        **_deepcache_kwargs(unet_params, unet_cfg, init_latent,
+                            deepcache_interval, ref_kv, controls,
+                            c_concat),
         control_residuals=control_residuals,
         control_weights=control_weights,
         tile_noise=tile_noise)
@@ -336,7 +339,8 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
             guidance_weight=None, cfg_scale: float = 7.0,
             seed: int = 1234, reference_kv=None, capture_kv: bool = False,
             control_specs=(), guidance_space: str = "latent",
-            sampler: str = "ddim", cfg_interval: int = 1):
+            sampler: str = "ddim", cfg_interval: int = 1,
+            deepcache_interval: int = 0):
     """Plain guided img2img (guided_ldm.py:165-219).
 
     img: [1, H, W, 3] in [-1, 1]. Returns (image, kv_hist).
@@ -374,8 +378,35 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
         capture_kv=capture_kv, use_inpaint=False,
         use_guidance=use_guidance, final_composite=False,
         control_cfgs=ccfgs, guidance_space=guidance_space,
-        sampler=sampler, cfg_interval=cfg_interval)
+        sampler=sampler, cfg_interval=cfg_interval,
+        deepcache_interval=deepcache_interval)
     return out, kv
+
+
+def _deepcache_kwargs(unet_params, unet_cfg, init_latent,
+                      deepcache_interval, ref_kv, controls, c_concat):
+    """Build the ddim_decode deepcache kwargs when the turbo knob is on
+    (plain crossattn img2img only — the split forward has no
+    ref_kv/ControlNet/hybrid support)."""
+    if deepcache_interval <= 0:
+        return {}
+    assert ref_kv is None and not controls and c_concat is None, \
+        "deepcache supports only plain crossattn img2img"
+    b, h, w = init_latent.shape[0], init_latent.shape[1], init_latent.shape[2]
+
+    def full_fn(xx, tt, cc):
+        return U.unet_apply_deepcache(unet_params, unet_cfg, xx, tt, cc,
+                                      want_deep_cache=True)
+
+    def cached_fn(xx, tt, cc, deep):
+        return U.unet_apply_deepcache(unet_params, unet_cfg, xx, tt, cc,
+                                      deep_cache=deep)[0]
+
+    dc0 = jnp.zeros(U.deepcache_feat_shape(unet_cfg, 2 * b, h, w),
+                    init_latent.dtype)
+    return {"deepcache_interval": deepcache_interval,
+            "deepcache_fns": (full_fn, cached_fn),
+            "deepcache_init": dc0}
 
 
 def _guidance_strength_array(schedule_func, weight_map, t_enc, total_steps,

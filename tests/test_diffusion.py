@@ -425,3 +425,61 @@ def test_cfg_interval_caching(rng):
     D.ddim_decode(counting_model, sched, ddim, x, c1, c0, 4,
                   cfg_scale=4.0, rng=rng, cfg_interval=2)
     assert calls["full"] >= 1 and calls["half"] >= 1
+
+
+def test_deepcache_interval_one_matches_plain(rng):
+    """deepcache_interval=1 runs the full net every step through the
+    deepcache split — outputs must match the plain path exactly (the
+    split forward computes the identical function); interval>1 stays
+    finite and close for a tiny UNet."""
+    import jax.numpy as jnp
+    from sd_animation_optical_flow_tpu.diffusion import ddim as D
+    from sd_animation_optical_flow_tpu.diffusion.schedule import (
+        make_ddim_params, make_linear_schedule)
+    from sd_animation_optical_flow_tpu.models import unet as U
+    from sd_animation_optical_flow_tpu.models.layers import numpy_init
+
+    cfg = U.UNetConfig(model_channels=16, channel_mult=(1, 2),
+                       attention_resolutions=(1,), num_heads=2,
+                       context_dim=32)
+    with numpy_init():
+        params = U.unet_init(jax.random.PRNGKey(0), cfg)
+    sched = make_linear_schedule(timesteps=50)
+    ddim = make_ddim_params(sched, 10)
+    b, h, w = 1, 8, 8
+    x = jax.random.normal(rng, (b, h, w, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 5, 32))
+    cond = D.CondBundle(crossattn=ctx)
+    uncond = D.CondBundle(crossattn=jnp.zeros_like(ctx))
+
+    def model(xx, tt, cc, control=None):
+        return U.unet_apply(params, cfg, xx, tt, cc)[0]
+
+    def full_fn(xx, tt, cc):
+        return U.unet_apply_deepcache(params, cfg, xx, tt, cc,
+                                      want_deep_cache=True)
+
+    def cached_fn(xx, tt, cc, deep):
+        return U.unet_apply_deepcache(params, cfg, xx, tt, cc,
+                                      deep_cache=deep)[0]
+
+    dc0 = jnp.zeros(U.deepcache_feat_shape(cfg, 2 * b, h, w))
+    plain = D.ddim_decode(model, sched, ddim, x, cond, uncond, 4,
+                          cfg_scale=3.0, rng=rng)
+    dc1 = D.ddim_decode(model, sched, ddim, x, cond, uncond, 4,
+                        cfg_scale=3.0, rng=rng, deepcache_interval=1,
+                        deepcache_fns=(full_fn, cached_fn),
+                        deepcache_init=dc0)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(dc1),
+                               rtol=2e-5, atol=2e-5)
+
+    dc2 = D.ddim_decode(model, sched, ddim, x, cond, uncond, 4,
+                        cfg_scale=3.0, rng=rng, deepcache_interval=2,
+                        deepcache_fns=(full_fn, cached_fn),
+                        deepcache_init=dc0)
+    a2 = np.asarray(dc2)
+    assert np.isfinite(a2).all()
+    # approximation should stay in the same ballpark as the exact chain
+    rel = np.abs(a2 - np.asarray(plain)).mean() / \
+        (np.abs(np.asarray(plain)).mean() + 1e-6)
+    assert rel < 0.5, rel

@@ -289,3 +289,20 @@ def test_txt2img_and_inversion(bundles):
     lat = F.img2img_invert(sd, src, "a b c", t_enc=3, ddim_steps=4)
     assert lat.shape == (1, 32, 32, 4)   # tiny VAE is /2
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_img2img_deepcache_knob(bundles):
+    """Facade-level DeepCache: interval=1 equals the default path (the
+    split forward is the identical function); interval=2 runs and stays
+    finite."""
+    sd, _ = bundles
+    img = jnp.asarray(np.random.RandomState(5).rand(1, 64, 64, 3) * 2 - 1,
+                      jnp.float32)
+    base, _ = F.img2img(sd, img, "a b", "", 0.5, ddim_steps=8, seed=3)
+    dc1, _ = F.img2img(sd, img, "a b", "", 0.5, ddim_steps=8, seed=3,
+                       deepcache_interval=1)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(dc1),
+                               rtol=3e-5, atol=3e-5)
+    dc2, _ = F.img2img(sd, img, "a b", "", 0.5, ddim_steps=8, seed=3,
+                       deepcache_interval=2)
+    assert np.isfinite(np.asarray(dc2)).all()
