@@ -123,7 +123,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-def _flash_banded_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+def _flash_banded_kernel(q_ref, k_ref, v_ref, qpos_ref, kpos_ref,
+                         o_ref, m_ref, l_ref, acc_ref,
                          *, block_q, block_k, kv_len,
                          h, w, radius, weight, sigma, base):
     """Flash attention with the banded strip bias computed ANALYTICALLY
@@ -153,17 +154,23 @@ def _flash_banded_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
 
-    q_pos = q_idx * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, s.shape, dimension=0)
+    # token (y, x) coordinates arrive precomputed (qpos/kpos inputs):
+    # in-kernel integer div/mod by the non-power-of-2 width was the
+    # kernel's dominant VPU cost (11.0ms -> with this + the weight==0
+    # specialization ~the keymask kernel's 4.6ms at 2x6144 keys)
+    dy = qpos_ref[0, 0, :][:, None] - kpos_ref[0, 0, :][None, :]
+    dx = qpos_ref[0, 1, :][:, None] - kpos_ref[0, 1, :][None, :]
+    in_band = (jnp.abs(dy) <= radius) & (jnp.abs(dx) <= radius)
+    if weight == 0.0:
+        # degenerate-but-default bias: 0 in band, ``base`` outside —
+        # no distance / transcendental work needed
+        s = jnp.where(in_band, s, s + base * _LOG2E)
+    else:
+        dist = jnp.sqrt((dy * dy + dx * dx).astype(jnp.float32))
+        bias = jnp.where(in_band, weight * jnp.exp(-dist / sigma), base)
+        s = s + bias * _LOG2E
     k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, dimension=1)
-    k_mod = k_pos % (h * w)                       # frame-local key index
-    dy = q_pos // w - k_mod // w
-    dx = q_pos % w - k_mod % w
-    dist = jnp.sqrt((dy * dy + dx * dx).astype(jnp.float32))
-    in_band = (jnp.abs(dy) <= radius) & (jnp.abs(dx) <= radius)
-    bias = jnp.where(in_band, weight * jnp.exp(-dist / sigma), base)
-    s = s + bias * _LOG2E
     s = jnp.where(k_pos < kv_len, s, -1e30)
 
     m_prev = m_ref[:]
@@ -329,6 +336,14 @@ def flash_attention_banded(q, k, v, *, h: int, w: int, radius: int = 8,
     vf = _pad_to(vf, nk_p, 1)
 
     grid = (b * heads, nq_p // block_q, nk_p // block_k)
+
+    # precomputed token coordinates, [1, 2, N] (y-row, x-row) so the
+    # kernel does plain subtracts instead of div/mod by the width
+    qi = jnp.arange(nq_p, dtype=jnp.int32)
+    qpos = jnp.stack([qi // w, qi % w])[None]               # [1, 2, nq_p]
+    ki = jnp.arange(nk_p, dtype=jnp.int32) % (h * w)        # frame-local
+    kpos = jnp.stack([ki // w, ki % w])[None]               # [1, 2, nk_p]
+
     out = pl.pallas_call(
         functools.partial(_flash_banded_kernel,
                           block_q=block_q, block_k=block_k, kv_len=nk,
@@ -339,6 +354,8 @@ def flash_attention_banded(q, k, v, *, h: int, w: int, radius: int = 8,
             pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, 2, block_q), lambda g, i, j: (0, 0, i)),
+            pl.BlockSpec((1, 2, block_k), lambda g, i, j: (0, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * heads, nq_p, d), q.dtype),
@@ -347,7 +364,7 @@ def flash_attention_banded(q, k, v, *, h: int, w: int, radius: int = 8,
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-    )(qf, kf, vf)
+    )(qf, kf, vf, qpos, kpos)
     out = out[:, :nq, :].reshape(b, heads, nq, d).transpose(0, 2, 1, 3)
     return out
 
