@@ -69,3 +69,56 @@ def ring_attention(q, k, v, mesh: Mesh, *, seq_axis: str = "dp"):
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_rep=False)
     return fn(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Ulysses-style sequence parallelism (all-to-all head scatter)
+# ---------------------------------------------------------------------------
+
+def _ulysses_local(q, k, v, axis_name: str):
+    """Per-shard body: all-to-all reshards sequence-sharded [B, n_loc, H, D]
+    into head-sharded [B, N, H/dev, D], runs FULL-sequence attention
+    locally on the owned heads, and all-to-alls back."""
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    n_dev = jax.lax.psum(1, axis_name)
+
+    def seq_to_heads(x):
+        # tiled all-to-all: split the head axis across the mesh, gather
+        # the full sequence — [B, n_loc, H, D] -> [B, N, H/dev, D]
+        return jax.lax.all_to_all(x, axis_name, split_axis=2,
+                                  concat_axis=1, tiled=True)
+
+    def heads_to_seq(x):
+        # inverse reshard: [B, N, H/dev, D] -> [B, n_loc, H, D]
+        return jax.lax.all_to_all(x, axis_name, split_axis=1,
+                                  concat_axis=2, tiled=True)
+
+    qh = seq_to_heads(q)
+    kh = seq_to_heads(k)
+    vh = seq_to_heads(v)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
+                   kh.astype(jnp.float32),
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(qh.dtype), vh,
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    return heads_to_seq(o)
+
+
+def ulysses_attention(q, k, v, mesh: Mesh, *, seq_axis: str = "dp"):
+    """Ulysses-style sequence-parallel self-attention (SURVEY §2.7: the
+    all-to-all head-scatter alternative to ring attention): one
+    all-to-all converts the sequence sharding into a head sharding, each
+    chip runs full-sequence attention over H/devices heads, and a second
+    all-to-all restores the sequence sharding. Requires H % devices == 0.
+
+    q/k/v [B, N, H, D] with N sharded over ``seq_axis``."""
+    n_dev = mesh.shape[seq_axis]
+    assert q.shape[2] % n_dev == 0, "heads must divide the mesh axis"
+    spec = P(None, seq_axis, None, None)
+    fn = shard_map(
+        functools.partial(_ulysses_local, axis_name=seq_axis),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False)
+    return fn(q, k, v)

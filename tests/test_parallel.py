@@ -111,3 +111,23 @@ def test_sharded_train_step_runs_and_reduces_loss(rng):
     assert int(state.step) == 3
     # same data + model each step: loss must go down while memorizing
     assert losses[-1] < losses[0]
+
+
+def test_ulysses_attention_matches_dense(rng):
+    """Ulysses all-to-all sequence parallelism computes the same
+    attention as the dense single-device reference."""
+    import numpy as np
+    from sd_animation_optical_flow_tpu.parallel.mesh import make_mesh
+    from sd_animation_optical_flow_tpu.parallel.ring_attention import (
+        ulysses_attention)
+    from sd_animation_optical_flow_tpu.ops.attention import xla_attention
+
+    mesh = make_mesh(dp=8, tp=1)
+    b, n, h, d = 2, 64, 8, 16
+    q = jax.random.normal(rng, (b, n, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, n, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, n, h, d))
+    got = ulysses_attention(q, k, v, mesh, seq_axis="dp")
+    want = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
