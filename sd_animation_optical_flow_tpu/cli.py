@@ -85,7 +85,8 @@ def cmd_pixel_inpaint(args):
         propagated_pixel_weight=args.propagated_pixel_weight,
         ddim_steps=args.ddim_steps, seed=args.seed,
         prompt_extra=args.prompt_extra, frame_batch=args.frame_batch,
-        sampler=args.sampler)
+        sampler=args.sampler, cfg_interval=args.cfg_interval,
+        deepcache_interval=args.deepcache_interval)
     if cfg.frame_batch > 1:
         from .pipelines.keyframes import FrameGenConfig, frame_generator
         gen = frame_generator(args.input, FrameGenConfig(
@@ -258,6 +259,12 @@ def main(argv=None):
     p1.add_argument("--frame-batch", type=int, default=1,
                     help=">1: batch non-key frames of a segment through "
                          "one compiled program (TPU throughput)")
+    p1.add_argument("--cfg-interval", type=int, default=1,
+                    help="turbo: refresh the uncond CFG branch every "
+                         "k-th step (approximation, 1 = exact)")
+    p1.add_argument("--deepcache-interval", type=int, default=0,
+                    help="turbo: reuse the deep UNet segment between "
+                         "steps for keyframe img2img (0 = off)")
     p1.set_defaults(fn=cmd_pixel_inpaint)
 
     p2 = sub.add_parser("ofgen", help="warp-as-guidance pipeline")

@@ -241,13 +241,14 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
     static_argnames=("unet_cfg", "vae_cfg", "mask_blur", "t_enc",
                      "ddim_steps", "parameterization", "cfg_scale",
                      "capture_kv", "final_composite", "has_reference",
-                     "tile_noise", "want_init_decoded", "sampler"))
+                     "tile_noise", "want_init_decoded", "sampler",
+                     "cfg_interval"))
 def _inpaint_fused(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                    image, reference_img, mask01, ctx_c, ctx_u, gates,
                    ref_kv, rng, *, mask_blur, t_enc, ddim_steps,
                    parameterization, cfg_scale, capture_kv,
                    final_composite, has_reference, tile_noise,
-                   want_init_decoded, sampler="ddim"):
+                   want_init_decoded, sampler="ddim", cfg_interval=1):
     """image/reference_img [B, H, W, 3]; mask01 [B, H, W]. RNG splits and
     noise draws exactly mirror the unfused path (split(rng, 4); tiled
     [1,...] posterior noise broadcast over B — identical at B=1), so
@@ -299,7 +300,7 @@ def _inpaint_fused(unet_params, unet_cfg, vae_params, vae_cfg, sched,
         parameterization=parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=True, use_guidance=False,
         final_composite=final_composite, tile_noise=tile_noise,
-        sampler=sampler)
+        sampler=sampler, cfg_interval=cfg_interval)
     init_decoded = jnp.clip(V.decode(vae_params, vae_cfg, init_latent),
                             -1, 1) if want_init_decoded else None
     return out, composited, init_decoded, kv
@@ -454,7 +455,7 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
                     cfg_scale: float = 7.0, seed: int = 1234,
                     reference_kv=None, capture_kv: bool = False,
                     control_specs=(), want_init_decoded: bool = True,
-                    sampler: str = "ddim"):
+                    sampler: str = "ddim", cfg_interval: int = 1):
     """Masked inpainting img2img (guided_ldm_inpainting.py:261-345).
 
     image/reference_img: [1, H, W, 3] in [-1, 1]; mask: [H, W] in {0, 1}
@@ -494,7 +495,7 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
             cfg_scale=cfg_scale, capture_kv=capture_kv,
             final_composite=last_gs > 0, has_reference=has_reference,
             tile_noise=False, want_init_decoded=want_init_decoded,
-            sampler=sampler)
+            sampler=sampler, cfg_interval=cfg_interval)
         return out, composited, init_latent_decoded, kv
 
     # ControlNet path (unfused: residuals need host-prepped hints)
@@ -602,7 +603,7 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
                           ddim_steps: int = 50, mask_blur: int = 16,
                           guidance_schedule_func=None,
                           cfg_scale: float = 7.0, seed: int = 1234,
-                          sampler: str = "ddim"):
+                          sampler: str = "ddim", cfg_interval: int = 1):
     """B independent masked-inpainting frames in ONE compiled program.
 
     TPU-first throughput design with no reference counterpart: inside a
@@ -638,7 +639,7 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
         capture_kv=False, final_composite=last_gs > 0,
         has_reference=True, tile_noise=True, want_init_decoded=False,
-        sampler=sampler)
+        sampler=sampler, cfg_interval=cfg_interval)
     return out
 
 

@@ -51,6 +51,11 @@ class PixelInpaintConfig:
     write_vis: bool = True
     guidance_schedule_func: Callable[[float], float] = lambda p: 1.0
     sampler: str = "ddim"        # or 'dpmpp' (DPM-Solver++ 2M)
+    # turbo knobs (labeled approximations, off by default): CFG caching
+    # interval for the inpaint denoise; deepcache for the plain-img2img
+    # keyframe generation
+    cfg_interval: int = 1
+    deepcache_interval: int = 0
     # >1 batches non-key frames of a keyframe segment through ONE
     # compiled flow/warp/mask/inpaint program (frames in a segment are
     # independent; outputs stay bitwise-equal to sequential fixed-seed
@@ -120,7 +125,9 @@ def keyframe_img2img(sd: F.StableDiffusionBundle, tagger: Optional[Tagger],
     img, _ = F.img2img(sd, bgr_u8_to_model(frame_bgr), prompt,
                        NEGATIVE_PROMPT, cfg.denoising_strength,
                        cfg.ddim_steps, seed=cfg.seed,
-                       sampler=cfg.sampler)
+                       sampler=cfg.sampler,
+                       cfg_interval=cfg.cfg_interval,
+                       deepcache_interval=cfg.deepcache_interval)
     return model_to_bgr_u8(img)
 
 
@@ -221,7 +228,7 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
                 mask=mask01_d, mask_blur=cfg.mask_blur,
                 guidance_schedule_func=cfg.guidance_schedule_func,
                 seed=cfg.seed, want_init_decoded=False,
-                sampler=cfg.sampler)
+                sampler=cfg.sampler, cfg_interval=cfg.cfg_interval)
             raw_ai_d = model_to_bgr_f32d(img_out)
             if cfg.propagated_pixel_weight >= 0.001:
                 # propagated-pixel mix (ofgen_pixel_inpaint.py:251-260)
@@ -311,7 +318,7 @@ def _process_batch(batch, flow_pair, out_dir, reference_frame,
         refs_model, denoising_strength=cfg.denoising_strength,
         ddim_steps=cfg.ddim_steps, mask_blur=cfg.mask_blur,
         guidance_schedule_func=cfg.guidance_schedule_func, seed=cfg.seed,
-        sampler=cfg.sampler)
+        sampler=cfg.sampler, cfg_interval=cfg.cfg_interval)
     outs_bgr = jnp.clip(outs * 127.5 + 127.5, 0, 255)[..., ::-1]
 
     if cfg.propagated_pixel_weight >= 0.001:
