@@ -128,8 +128,10 @@ class FlowConfidenceEstimator:
         caller can dispatch flow for frame t+1 while frame t's denoise is
         still in flight (the streaming overlap, SURVEY §2.7 host⇄device
         staging row)."""
-        src = jnp.asarray(src, jnp.float32)
-        tgt = jnp.asarray(tgt, jnp.float32)
+        # upload in the caller's dtype (uint8 frames are 4x lighter on
+        # the ~80MB/s link) and cast on device
+        src = jnp.asarray(src).astype(jnp.float32)
+        tgt = jnp.asarray(tgt).astype(jnp.float32)
         src_p, (h, w) = pad_to_multiple(src, 8)
         tgt_p, _ = pad_to_multiple(tgt, 8)
         b = src_p.shape[0]

@@ -134,10 +134,14 @@ class VideoWorkspace:
         return os.path.join(self.workspace_dir, "crossattn", f"{n:05d}.npz")
 
     def put_kv(self, n, kv_hist):
+        # one batched device_get for the whole 16-layer tree (a per-array
+        # pull pays the link RTT 32x), f16 on disk
+        import jax
+        host = jax.device_get(tuple(kv_hist))
         arrays = {}
-        for i, (k, v) in enumerate(kv_hist):
-            arrays[f"k{i}"] = np.asarray(k, np.float16)
-            arrays[f"v{i}"] = np.asarray(v, np.float16)
+        for i, (k, v) in enumerate(host):
+            arrays[f"k{i}"] = np.asarray(k).astype(np.float16)
+            arrays[f"v{i}"] = np.asarray(v).astype(np.float16)
         np.savez(self._kv(n), **arrays)
 
     def get_kv(self, n):
@@ -255,8 +259,8 @@ class FlowCache:
             batch = pairs[start: start + self.batch_size]
             src = np.stack([video.get_raw_frame(s)[..., ::-1] for s, _ in batch])
             tgt = np.stack([video.get_raw_frame(t)[..., ::-1] for _, t in batch])
-            flow, conf, _ = self.estimator.calc_batch(
-                src.astype(np.float32), tgt.astype(np.float32))
+            # uint8 stacks upload 4x lighter; the estimator casts on device
+            flow, conf, _ = self.estimator.calc_batch(src, tgt)
             for i, (s, t) in enumerate(batch):
                 entry = np.concatenate([flow[i], conf[i][..., None]],
                                        axis=-1).astype(np.float32)
