@@ -466,6 +466,10 @@ def generate_with_refs(sd_inpaint, tagger, video: VideoWorkspace,
                                       ellipse_kernel(7))).astype(np.uint8)
         ref_kv = concat_ref_kv(reference_kv) \
             if (reference_kv and mode.endswith("crossattn")) else None
+        # K/V capture (an extra UNet pass + a ~70MB store per frame) only
+        # pays off when a later frame will inject it — i.e. the
+        # crossattn modes with use_reference_kv on
+        want_kv = cfg.use_reference_kv and mode.endswith("crossattn")
         out, _, _, kv = F.img2img_inpaint(
             sd_inpaint,
             image=bgr_u8_to_model(merged),
@@ -476,7 +480,7 @@ def generate_with_refs(sd_inpaint, tagger, video: VideoWorkspace,
             mask=mask2.astype(np.float32) / 255.0,
             mask_blur=cfg.mask_blur,
             guidance_schedule_func=cfg.guidance_schedule_func,
-            seed=cfg.seed, reference_kv=ref_kv, capture_kv=True,
+            seed=cfg.seed, reference_kv=ref_kv, capture_kv=want_kv,
             control_specs=_default_controls(control_bundle, original))
         frame = model_to_bgr_u8(out)
         if workspace:
@@ -515,7 +519,7 @@ def generate_with_refs(sd_inpaint, tagger, video: VideoWorkspace,
             mask=mask.astype(np.float32) / 255.0,
             mask_blur=cfg.mask_blur,
             guidance_schedule_func=cfg.guidance_schedule_func,
-            seed=cfg.seed, capture_kv=True,
+            seed=cfg.seed, capture_kv=cfg.use_reference_kv,
             control_specs=_default_controls(control_bundle, strip))
         frame = model_to_bgr_u8(out)[:, :w]
         return frame, kv
@@ -534,7 +538,7 @@ def generate_seed_frames(sd, tagger, video: VideoWorkspace,
     out, kv = F.img2img(
         sd, bgr_u8_to_model(strip), prompt, NEGATIVE_PROMPT,
         cfg.denoising_strength, cfg.ddim_steps, seed=cfg.seed,
-        capture_kv=True,
+        capture_kv=cfg.use_reference_kv,
         control_specs=_default_controls(control_bundle, strip))
     strip_bgr = model_to_bgr_u8(out)
     return np.split(strip_bgr, len(seed_indices), axis=1), kv
