@@ -1,0 +1,248 @@
+"""Round-2 per-op profiling harness (real TPU chip).
+
+Every measured op runs ITERS times inside ONE compiled program
+(lax.fori_loop with a data dependency threaded through), because a
+dependent dispatch through the axon tunnel costs seconds of RTT —
+host-side rep loops measure the tunnel, not the chip.
+
+Usage: python profile_r2.py [unet|unet_parts|vae|vae_parts|warp|all]
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+
+DT = jnp.bfloat16
+ITERS = int(os.environ.get("PROF_ITERS", "10"))
+# CFG batch at frame batch 8 (the bench's best batch)
+CFGB = int(os.environ.get("PROF_CFGB", "16"))
+
+
+def timed(name, fn, *args, iters=ITERS, flops=None):
+    """fn(*args) -> array; last arg is threaded through the loop
+    (fn must accept it as its last positional and return something of
+    the same shape, OR we thread a scalar dependency)."""
+    @jax.jit
+    def many(*a):
+        def body(i, x):
+            out = fn(*a[:-1], x)
+            if out.shape == x.shape and out.dtype == x.dtype:
+                return out
+            # cheap dependency: fold a scalar of the output back in
+            return x + jnp.mean(out).astype(x.dtype) * 0
+        return lax.fori_loop(0, iters, body, a[-1])
+
+    # NOTE: block_until_ready does NOT block through the axon tunnel —
+    # device_get is the only reliable completion barrier here.
+    r = many(*args)
+    jax.device_get(r)               # compile + warm
+    t0 = time.perf_counter()
+    r = many(*args)
+    jax.device_get(r)
+    dt = (time.perf_counter() - t0) / iters
+    extra = ""
+    if flops:
+        extra = f"  {flops / dt / 1e12:.1f} TF/s"
+    print(f"{name:<44s} {dt * 1e3:8.3f} ms{extra}", flush=True)
+    return dt
+
+
+def get_unet():
+    from sd_animation_optical_flow_tpu.models import unet as U
+    from sd_animation_optical_flow_tpu.models.layers import numpy_init
+    ucfg = U.UNetConfig()
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+        p = U.unet_init(jax.random.PRNGKey(0), ucfg)
+    p = jax.device_put(jax.tree.map(lambda x: x.astype(DT), p), jax.devices()[0])
+    return U, p, ucfg
+
+
+def prof_unet():
+    U, p, ucfg = get_unet()
+    x = jnp.zeros((CFGB, 64, 96, 4), DT)
+    t = jnp.full((CFGB,), 500, jnp.int32)
+    ctx = jnp.zeros((CFGB, 231, 768), DT)
+
+    def step(p, t, ctx, x):
+        out, _ = U.unet_apply(p, ucfg, x, t, ctx)
+        return x + out * 0.001
+    timed(f"unet step (cfg batch {CFGB})", step, p, t, ctx, x)
+
+
+def prof_unet_parts():
+    from sd_animation_optical_flow_tpu.models import unet as U
+    from sd_animation_optical_flow_tpu.models.layers import numpy_init
+    rng = jax.random.PRNGKey(0)
+    ted = 1280
+    emb = jnp.zeros((CFGB, ted), DT)
+    ctx = jnp.zeros((CFGB, 231, 768), DT)
+
+    # (name, h, w, ch, tokens)
+    levels = [("L0 64x96x320", 64, 96, 320),
+              ("L1 32x48x640", 32, 48, 640),
+              ("L2 16x24x1280", 16, 24, 1280),
+              ("L3 8x12x1280", 8, 12, 1280)]
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+        res_ps = {ch: U._resblock_init(rng, ch, ch, ted)
+                  for _, _, _, ch in levels}
+        tfm_ps = {ch: U._spatial_transformer_init(rng, ch, 8, 768, 1)
+                  for _, _, _, ch in levels[:3]}
+    dev = jax.devices()[0]
+    cast = lambda t: jax.device_put(
+        jax.tree.map(lambda x: x.astype(DT), t), dev)
+    res_ps = cast(res_ps); tfm_ps = cast(tfm_ps)
+
+    for name, h, w, ch in levels:
+        x = jnp.zeros((CFGB, h, w, ch), DT)
+        # conv3x3 flops: 2 convs/resblock
+        fl = 2 * CFGB * h * w * 9 * ch * ch * 2
+        timed(f"resblock {name}", lambda p, e, x: U._resblock(p, x, e),
+              res_ps[ch], emb, x, flops=fl)
+    for name, h, w, ch in levels[:3]:
+        x = jnp.zeros((CFGB, h, w, ch), DT)
+        def tf(p, c, x):
+            out, _ = U._spatial_transformer(p, x, c, 8, None)
+            return out
+        timed(f"transformer {name}", tf, tfm_ps[ch], ctx, x)
+
+    # groupnorm+swish alone at the big shape
+    from sd_animation_optical_flow_tpu.models.layers import (group_norm,
+                                                             norm_init, swish,
+                                                             conv2d_init,
+                                                             conv2d,
+                                                             nearest_upsample2x)
+    for name, h, w, ch in levels[:2]:
+        x = jnp.zeros((CFGB, h, w, ch), DT)
+        npm = cast(norm_init(ch))
+        timed(f"groupnorm+swish {name}",
+              lambda p, x: swish(group_norm(p, x)), npm, x)
+
+    # bare conv3x3 at L0
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+        cp = conv2d_init(rng, 320, 320, 3)
+    cp = cast(cp)
+    x = jnp.zeros((CFGB, 64, 96, 320), DT)
+    fl = CFGB * 64 * 96 * 9 * 320 * 320 * 2
+    timed("conv3x3 64x96 320->320", lambda p, x: conv2d(p, x), cp, x,
+          flops=fl)
+
+    # upsample+conv (decoder up block at L1->L0 size)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+        up = conv2d_init(rng, 640, 640, 3)
+    up = cast(up)
+    x = jnp.zeros((CFGB, 32, 48, 640), DT)
+    fl = CFGB * 64 * 96 * 9 * 640 * 640 * 2
+    timed("upsample2x+conv3x3 32x48x640",
+          lambda p, x: conv2d(p, nearest_upsample2x(x)), up, x, flops=fl)
+
+    # attention alone at L0 shape (6144 tokens, 8 heads, d=40)
+    from sd_animation_optical_flow_tpu.ops.attention import attention
+    q = jnp.zeros((CFGB, 6144, 8, 40), DT)
+    timed("self-attn 6144 tok d40 (routed)",
+          lambda q, k, x: attention(q, k, x), q, q, q)
+    kc = jnp.zeros((CFGB, 231, 8, 40), DT)
+    timed("cross-attn 6144x231 (routed)",
+          lambda q, k, x: attention(q, k, x) * 0 + q * 0, q, kc, q)
+
+    # GEGLU ff at L0
+    from sd_animation_optical_flow_tpu.models.layers import linear_init
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+        ffp = {"ff_proj": linear_init(rng, 320, 2560),
+               "ff_out": linear_init(rng, 1280, 320)}
+    ffp = cast(ffp)
+    x = jnp.zeros((CFGB, 6144, 320), DT)
+    fl = CFGB * 6144 * (320 * 2560 + 1280 * 320) * 2
+    timed("GEGLU ff 6144x320", lambda p, x: U._geglu_ff(p, x), ffp, x,
+          flops=fl)
+
+
+def get_vae():
+    from sd_animation_optical_flow_tpu.models import vae as V
+    from sd_animation_optical_flow_tpu.models.layers import numpy_init
+    vcfg = V.VAEConfig()
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+        p = V.vae_init(jax.random.PRNGKey(0), vcfg)
+    p = jax.device_put(jax.tree.map(lambda x: x.astype(DT), p), jax.devices()[0])
+    return V, p, vcfg
+
+
+def prof_vae():
+    V, p, vcfg = get_vae()
+    B = CFGB // 2
+    img = jnp.zeros((B, 512, 768, 3), DT)
+    z = jnp.zeros((B, 64, 96, 4), DT)
+    timed(f"vae encode b{B}", lambda p, x: V.encode(p, vcfg, x, sample=False),
+          p, img)
+    timed(f"vae decode b{B}", lambda p, z: V.decode(p, vcfg, z), p, z)
+    B1 = 1
+    timed("vae decode b1", lambda p, z: V.decode(p, vcfg, z), p,
+          jnp.zeros((B1, 64, 96, 4), DT))
+
+
+def prof_vae_parts():
+    from sd_animation_optical_flow_tpu.models import vae as V
+    from sd_animation_optical_flow_tpu.models.layers import (numpy_init,
+                                                             conv2d,
+                                                             conv2d_init,
+                                                             nearest_upsample2x)
+    rng = jax.random.PRNGKey(0)
+    B = CFGB // 2
+    dev = jax.devices()[0]
+    cast = lambda t: jax.device_put(
+        jax.tree.map(lambda x: x.astype(DT), t), dev)
+    # decoder level shapes: (h, w, ch)
+    shapes = [("D-mid 64x96x512", 64, 96, 512),
+              ("D-L2 128x192x512", 128, 192, 512),
+              ("D-L1 256x384x256", 256, 384, 256),
+              ("D-L0 512x768x128", 512, 768, 128)]
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+        ps = {ch: V._resblock_init(rng, ch, ch) for _, _, _, ch in shapes}
+        att = V._attnblock_init(rng, 512)
+    ps = cast(ps); att = cast(att)
+    for name, h, w, ch in shapes:
+        x = jnp.zeros((B, h, w, ch), DT)
+        fl = 2 * B * h * w * 9 * ch * ch * 2
+        timed(f"vae resblock {name}", lambda p, x: V._resblock(p, x),
+              ps[ch], x, flops=fl)
+    x = jnp.zeros((B, 64, 96, 512), DT)
+    timed("vae attnblock 64x96x512", lambda p, x: V._attnblock(p, x), att, x)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+        up = conv2d_init(rng, 512, 512, 3)
+    up = cast(up)
+    x = jnp.zeros((B, 128, 192, 512), DT)
+    fl = B * 256 * 384 * 9 * 512 * 512 * 2
+    timed("vae upsample+conv 128x192x512",
+          lambda p, x: conv2d(p, nearest_upsample2x(x)), up, x, flops=fl)
+
+
+def prof_warp():
+    from sd_animation_optical_flow_tpu.ops.warp import warp_frame
+    img = jnp.zeros((512, 768, 3), jnp.float32)
+    flow = jnp.zeros((512, 768, 2), jnp.float32)
+    timed("cubic warp 512x768x3",
+          lambda img, flow: warp_frame(img, flow), img, flow)
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print(f"# backend={jax.default_backend()} devices={jax.devices()} "
+          f"iters={ITERS} cfgb={CFGB}", flush=True)
+    if what in ("unet", "all"):
+        prof_unet()
+    if what in ("unet_parts", "all"):
+        prof_unet_parts()
+    if what in ("vae", "all"):
+        prof_vae()
+    if what in ("vae_parts", "all"):
+        prof_vae_parts()
+    if what in ("warp", "all"):
+        prof_warp()

@@ -37,6 +37,22 @@ NUM_KV_LAYERS = 16
 
 
 @dataclass(frozen=True)
+class StripConfig:
+    """Multi-frame-rendering strip self-attention (the reference's
+    forward_mfr band bias, ldm/modules/attention.py:220-324): the latent
+    is a width-concatenated strip of ``n_tiles`` frames, and every
+    self-attention layer applies an additive Gaussian band attraction
+    between spatially-corresponding pixels of different tiles.
+
+    mode 'target': tile 0 (the denoised target) is attracted to the
+      reference tiles — the reference's 2x-strip semantics.
+    mode 'mutual': all distinct tile pairs attract (seed strips where
+      every tile is denoised jointly)."""
+    n_tiles: int
+    mode: str = "target"
+
+
+@dataclass(frozen=True)
 class UNetConfig:
     in_channels: int = 4           # 9 for the inpainting UNet
     out_channels: int = 4
@@ -134,7 +150,7 @@ def _merge_heads(x):
     return x.reshape(b, n, h * d)
 
 
-def _self_attention(p, x, n_heads, ref_kv, bias=None):
+def _self_attention(p, x, n_heads, ref_kv, bias=None, strip=None, hw=None):
     """Self-attention; returns (out, (k, v)) with k/v of shape [B, N, C]
     (pre-head-split, post-projection) for cross-frame reuse.
 
@@ -150,6 +166,17 @@ def _self_attention(p, x, n_heads, ref_kv, bias=None):
                             p["to_v"]["w"]], axis=1).astype(x.dtype)
     q, k, v = jnp.split(x @ wqkv, 3, axis=-1)
     captured = (k, v)
+
+    if strip is not None and strip.n_tiles > 1:
+        # MFR strip band bias (analytic kernel on TPU); exclusive with
+        # K/V injection and materialized biases by mode design
+        assert ref_kv is None and bias is None, \
+            "strip MFR attention does not compose with ref_kv/bias"
+        from ..ops.attention import strip_attention
+        out = strip_attention(_heads(q, n_heads), _heads(k, n_heads),
+                              _heads(v, n_heads), h=hw[0], w_strip=hw[1],
+                              n_tiles=strip.n_tiles, mode=strip.mode)
+        return linear(p["to_out"], _merge_heads(out)), captured
 
     if ref_kv is not None:
         rk, rv = ref_kv
@@ -208,7 +235,8 @@ def _geglu_ff(p, x):
     return linear(p["ff_out"], h)
 
 
-def _spatial_transformer(p, x, context, n_heads, ref_kv, attn_bias=None):
+def _spatial_transformer(p, x, context, n_heads, ref_kv, attn_bias=None,
+                         strip=None):
     """Returns (out, kv_list) — one (k, v) per depth block."""
     b, h, w, c = x.shape
     res = x
@@ -218,7 +246,8 @@ def _spatial_transformer(p, x, context, n_heads, ref_kv, attn_bias=None):
     kvs = []
     for blk in p["blocks"]:
         a1, kv = _self_attention(blk["attn1"], layer_norm(blk["norm1"], x),
-                                 n_heads, ref_kv, bias=attn_bias)
+                                 n_heads, ref_kv, bias=attn_bias,
+                                 strip=strip, hw=(h, w))
         x = x + a1
         kvs.append(kv)
         x = x + _cross_attention(blk["attn2"], layer_norm(blk["norm2"], x),
@@ -305,7 +334,8 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
                ref_kv: Optional[Tuple] = None,
                control: Optional[Tuple] = None,
                attn_biases: Optional[dict] = None,
-               y: Optional[jnp.ndarray] = None):
+               y: Optional[jnp.ndarray] = None,
+               strip: Optional[StripConfig] = None):
     """Forward pass.
 
     Args:
@@ -320,6 +350,9 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
         (multi-frame banded strips).
       y: [B] int class labels (adm conditioning, e.g. the upscaler's
         noise level); required iff cfg.num_classes is set.
+      strip: optional StripConfig — x is a width-concatenated
+        multi-frame strip and every self-attention applies the MFR band
+        bias (reference forward_mfr, attention.py:220-324).
 
     Returns:
       (out [B, H, W, out_channels], kv_hist 16-tuple of (k, v)).
@@ -335,7 +368,8 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
     def tfm(p, h, layer_idx):
         rkv = ref_kv[layer_idx] if ref_kv is not None else None
         bias = attn_biases.get(layer_idx) if attn_biases else None
-        h, kvs = _spatial_transformer(p, h, context, nh, rkv, bias)
+        h, kvs = _spatial_transformer(p, h, context, nh, rkv, bias,
+                                      strip=strip)
         return h, kvs
 
     kv_hist: list = []

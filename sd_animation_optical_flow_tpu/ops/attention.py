@@ -504,6 +504,225 @@ def sliced_attention(q, k, v, *, slice_size: int = 1024, bias=None):
 
 
 # ---------------------------------------------------------------------------
+# Multi-frame-rendering (MFR) strip bias — the reference's forward_mfr
+# band bias for width-concatenated strips
+# ---------------------------------------------------------------------------
+
+# the reference keys sigma by the latent tile height
+# (attention.py:256-261 sigma_from_h: {96: 1, 48: 0.8, 24: 0.6, 12: 0.4});
+# that table is exactly 0.4 + 0.2*log2(h/12) — use the closed form so
+# non-reference resolutions (e.g. landscape h=64) interpolate sanely.
+MFR_RADIUS = 6        # attention.py:251 attn_radius
+MFR_WEIGHT = 4.0      # attention.py:252 attn_w
+
+
+def mfr_sigma(h: int) -> float:
+    return 0.4 + 0.2 * math.log2(max(h, 1) / 12.0)
+
+
+def _strip_positions(h: int, w_tile: int, n_tiles: int, n_pad: int):
+    """Token coords for a width-concatenated strip flattened row-major:
+    token i -> (y, tile, x_local). Returns int32 [1, 3, n_pad] rows
+    (y, x_local, tile); indices >= h*n_tiles*w_tile keep their modular
+    values (they are masked by the kv_len guard in-kernel)."""
+    i = jnp.arange(n_pad, dtype=jnp.int32)
+    ws = n_tiles * w_tile
+    y = (i // ws) % h
+    rem = i % ws
+    tile = rem // w_tile
+    x = rem % w_tile
+    return jnp.stack([y, x, tile])[None]
+
+
+def mfr_strip_bias(h: int, w_tile: int, n_tiles: int, *,
+                   radius: int = MFR_RADIUS, weight: float = MFR_WEIGHT,
+                   sigma: float | None = None, mode: str = "target",
+                   dtype=jnp.float32):
+    """Materialized [N, N] MFR band bias, N = h * n_tiles * w_tile, for a
+    width-concatenated strip in ROW-MAJOR flattening (the layout the UNet
+    sees when a strip image is reshaped to tokens).
+
+    Semantics follow the reference's forward_mfr
+    (ldm/modules/attention.py:243-310): an ADDITIVE attraction of
+    ``weight * exp(-dist / sigma)`` from target-tile queries to
+    spatially-corresponding reference-tile keys within ``radius`` (2D
+    Chebyshev band); 0 elsewhere — the reference leaves its base at 0
+    (the -100 fill is commented out at attention.py:270-276).
+
+    mode 'target': only tile-0 queries are attracted to tiles != 0
+      (the reference's 2x-strip case: target | reference).
+    mode 'mutual': every pair of distinct tiles attracts (the seed-strip
+      generalization where all tiles are denoised jointly).
+    """
+    if sigma is None:
+        sigma = mfr_sigma(h)
+    n = h * n_tiles * w_tile
+    pos = _strip_positions(h, w_tile, n_tiles, n)[0]          # [3, N]
+    y, x, tile = pos[0], pos[1], pos[2]
+    dy = y[:, None] - y[None, :]
+    dx = x[:, None] - x[None, :]
+    in_band = (jnp.abs(dy) <= radius) & (jnp.abs(dx) <= radius)
+    if mode == "target":
+        apply = (tile[:, None] == 0) & (tile[None, :] != 0)
+    elif mode == "mutual":
+        apply = tile[:, None] != tile[None, :]
+    else:
+        raise ValueError(mode)
+    dist = jnp.sqrt((dy * dy + dx * dx).astype(jnp.float32))
+    bias = jnp.where(apply & in_band, weight * jnp.exp(-dist / sigma), 0.0)
+    return bias.astype(dtype)
+
+
+def _flash_mfr_kernel(q_ref, k_ref, v_ref, qpos_ref, kpos_ref,
+                      o_ref, m_ref, l_ref, acc_ref,
+                      *, block_k, kv_len, radius, weight, sigma,
+                      target_only):
+    """Flash attention with the MFR strip bias computed ANALYTICALLY
+    in-kernel from precomputed (y, x_local, tile) token coordinates —
+    the O(N)-memory form of :func:`mfr_strip_bias` (a materialized bias
+    at 512x768 2-strips is [12288, 12288] f32 = 600MB of HBM)."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                      # pre-scaled by scale*log2e
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+    dy = qpos_ref[0, 0, :][:, None] - kpos_ref[0, 0, :][None, :]
+    dx = qpos_ref[0, 1, :][:, None] - kpos_ref[0, 1, :][None, :]
+    qt = qpos_ref[0, 2, :][:, None]
+    kt = kpos_ref[0, 2, :][None, :]
+    in_band = (jnp.abs(dy) <= radius) & (jnp.abs(dx) <= radius)
+    if target_only:
+        apply = in_band & (qt == 0) & (kt != 0)
+    else:
+        apply = in_band & (qt != kt)
+    dist = jnp.sqrt((dy * dy + dx * dx).astype(jnp.float32))
+    # bias joins the scores in the log2 domain (q pre-scaled by log2e)
+    s = jnp.where(apply, s + (weight * _LOG2E) * jnp.exp(-dist / sigma), s)
+
+    k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, dimension=1)
+    s = jnp.where(k_pos < kv_len, s, -1e30)
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp2((s - m_new).astype(v.dtype))
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = alpha * l_ref[:] + jnp.sum(
+        p.astype(jnp.float32), axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w_tile", "n_tiles", "radius", "weight", "sigma", "mode",
+    "block_q", "block_k", "interpret"))
+def flash_attention_mfr(q, k, v, *, h: int, w_tile: int, n_tiles: int,
+                        radius: int = MFR_RADIUS,
+                        weight: float = MFR_WEIGHT,
+                        sigma: float | None = None, mode: str = "target",
+                        block_q: int = DEFAULT_BLOCK_Q,
+                        block_k: int = DEFAULT_BLOCK_K,
+                        interpret: bool = False):
+    """Strip self-attention with the analytic in-kernel MFR band bias.
+
+    q/k/v [B, N, H, D] with N = h * n_tiles * w_tile (the full strip,
+    row-major). Matches xla_attention(..., bias=mfr_strip_bias(...))."""
+    if sigma is None:
+        sigma = mfr_sigma(h)
+    b, nq, heads, d = q.shape
+    nk = k.shape[1]
+    assert nq == h * n_tiles * w_tile and nk == nq, \
+        "MFR strip attention is full-strip self-attention"
+    scale = 1.0 / math.sqrt(d)
+    block_q = min(block_q, max(nq, 8))
+    block_k = min(block_k, max(nk, 8))
+
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * heads, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * heads, nk, d)
+    nq_p = pl.cdiv(nq, block_q) * block_q
+    nk_p = pl.cdiv(nk, block_k) * block_k
+    qf = _pad_to(qf, nq_p, 1)
+    kf = _pad_to(kf, nk_p, 1)
+    vf = _pad_to(vf, nk_p, 1)
+    grid = (b * heads, nq_p // block_q, nk_p // block_k)
+
+    qpos = _strip_positions(h, w_tile, n_tiles, nq_p)
+    kpos = _strip_positions(h, w_tile, n_tiles, nk_p)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_mfr_kernel, block_k=block_k, kv_len=nk,
+                          radius=radius, weight=float(weight),
+                          sigma=float(sigma), target_only=(mode == "target")),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, 3, block_q), lambda g, i, j: (0, 0, i)),
+            pl.BlockSpec((1, 3, block_k), lambda g, i, j: (0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * heads, nq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, qpos, kpos)
+    out = out[:, :nq, :].reshape(b, heads, nq, d).transpose(0, 2, 1, 3)
+    return out
+
+
+def strip_attention(q, k, v, *, h: int, w_strip: int, n_tiles: int,
+                    mode: str = "target", use_flash: bool | None = None):
+    """Self-attention over a width-concatenated strip with the MFR band
+    bias (reference forward_mfr, attention.py:220-324). Routes to the
+    analytic Pallas kernel on TPU; materializes the bias for XLA
+    otherwise (tests / CPU). q/k/v [B, h*w_strip, H, D]."""
+    assert w_strip % n_tiles == 0, "strip width must split into tiles"
+    w_tile = w_strip // n_tiles
+    if use_flash is None:
+        import os
+        use_flash = (jax.default_backend() == "tpu"
+                     and q.shape[1] >= 1536
+                     and os.environ.get("SDAOF_FLASH", "1") != "0")
+    if use_flash:
+        d = q.shape[-1]
+        dp = -(-d // 64) * 64
+        if dp != d:
+            q = _pad_to(q, dp, 3) * (math.sqrt(dp) / math.sqrt(d))
+            k = _pad_to(k, dp, 3)
+            v = _pad_to(v, dp, 3)
+            out = flash_attention_mfr(q, k, v, h=h, w_tile=w_tile,
+                                      n_tiles=n_tiles, mode=mode)
+            return out[..., :d]
+        return flash_attention_mfr(q, k, v, h=h, w_tile=w_tile,
+                                   n_tiles=n_tiles, mode=mode)
+    bias = mfr_strip_bias(h, w_tile, n_tiles, mode=mode)[None, None]
+    return xla_attention(q, k, v, bias=bias)
+
+
+# ---------------------------------------------------------------------------
 # Banded cross-frame attention bias (multi-frame strips)
 # ---------------------------------------------------------------------------
 

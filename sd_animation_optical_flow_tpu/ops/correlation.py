@@ -12,8 +12,14 @@ Two interchangeable paths, mirroring the reference's pair
     contract): correlation is computed on the fly only inside the
     (2r+1)^2 window around the current coords, per pyramid level of
     fmap2, full-res fmap1 (corr.py:69-83 semantics). Implemented as a
-    Pallas kernel (rows of fmap1 tiles resident in VMEM, windowed MACs)
-    with an XLA fallback.
+    two-stage XLA row/column gather (``alt_correlation_xla``): XLA
+    lowers take_along_axis of whole rows to fast dynamic slices, 9x
+    faster than a flat element gather of the same window and 17x faster
+    than a multi-dim slice gather (measured on v5e; see DECISIONS.md
+    "alt_cuda_corr -> XLA windowed-gather"). A Pallas kernel was
+    deliberately NOT written: the lookup is gather-bound, not MXU-bound,
+    and the profiled flow step spends its time in the encoder convs and
+    GRU, not here.
 """
 
 from __future__ import annotations

@@ -112,7 +112,8 @@ def _latent_hw(img_shape):
                      "parameterization", "cfg_scale", "capture_kv",
                      "use_inpaint", "use_guidance", "final_composite",
                      "control_cfgs", "tile_noise", "guidance_space",
-                     "sampler", "cfg_interval", "deepcache_interval"))
+                     "sampler", "cfg_interval", "deepcache_interval",
+                     "strip"))
 def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   init_latent, ctx_cond, ctx_uncond, c_concat,
                   guidance_latent, guidance_strength, nmask, renoise_gate,
@@ -121,7 +122,7 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   cfg_scale, capture_kv, use_inpaint, use_guidance,
                   final_composite, control_cfgs=(), tile_noise=False,
                   guidance_space="latent", sampler="ddim",
-                  cfg_interval=1, deepcache_interval=0):
+                  cfg_interval=1, deepcache_interval=0, strip=None):
     """stochastic_encode -> scanned guided DDIM -> (final composite) ->
     VAE decode. One compiled program per static signature.
 
@@ -138,7 +139,7 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
 
     def model_fn(x, t, ctx, control=None):
         out, _ = U.unet_apply(unet_params, unet_cfg, x, t, ctx,
-                              ref_kv=ref_kv, control=control)
+                              ref_kv=ref_kv, control=control, strip=strip)
         return out
 
     cond = D.CondBundle(crossattn=ctx_cond, concat=c_concat)
@@ -242,13 +243,14 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                      "ddim_steps", "parameterization", "cfg_scale",
                      "capture_kv", "final_composite", "has_reference",
                      "tile_noise", "want_init_decoded", "sampler",
-                     "cfg_interval"))
+                     "cfg_interval", "strip"))
 def _inpaint_fused(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                    image, reference_img, mask01, ctx_c, ctx_u, gates,
                    ref_kv, rng, *, mask_blur, t_enc, ddim_steps,
                    parameterization, cfg_scale, capture_kv,
                    final_composite, has_reference, tile_noise,
-                   want_init_decoded, sampler="ddim", cfg_interval=1):
+                   want_init_decoded, sampler="ddim", cfg_interval=1,
+                   strip=None):
     """image/reference_img [B, H, W, 3]; mask01 [B, H, W]. RNG splits and
     noise draws exactly mirror the unfused path (split(rng, 4); tiled
     [1,...] posterior noise broadcast over B — identical at B=1), so
@@ -300,7 +302,7 @@ def _inpaint_fused(unet_params, unet_cfg, vae_params, vae_cfg, sched,
         parameterization=parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=True, use_guidance=False,
         final_composite=final_composite, tile_noise=tile_noise,
-        sampler=sampler, cfg_interval=cfg_interval)
+        sampler=sampler, cfg_interval=cfg_interval, strip=strip)
     init_decoded = jnp.clip(V.decode(vae_params, vae_cfg, init_latent),
                             -1, 1) if want_init_decoded else None
     return out, composited, init_decoded, kv
@@ -341,7 +343,8 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
             seed: int = 1234, reference_kv=None, capture_kv: bool = False,
             control_specs=(), guidance_space: str = "latent",
             sampler: str = "ddim", cfg_interval: int = 1,
-            deepcache_interval: int = 0):
+            deepcache_interval: int = 0,
+            strip: Optional[U.StripConfig] = None):
     """Plain guided img2img (guided_ldm.py:165-219).
 
     img: [1, H, W, 3] in [-1, 1]. Returns (image, kv_hist).
@@ -380,7 +383,7 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
         use_guidance=use_guidance, final_composite=False,
         control_cfgs=ccfgs, guidance_space=guidance_space,
         sampler=sampler, cfg_interval=cfg_interval,
-        deepcache_interval=deepcache_interval)
+        deepcache_interval=deepcache_interval, strip=strip)
     return out, kv
 
 
@@ -455,7 +458,8 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
                     cfg_scale: float = 7.0, seed: int = 1234,
                     reference_kv=None, capture_kv: bool = False,
                     control_specs=(), want_init_decoded: bool = True,
-                    sampler: str = "ddim", cfg_interval: int = 1):
+                    sampler: str = "ddim", cfg_interval: int = 1,
+                    strip: Optional[U.StripConfig] = None):
     """Masked inpainting img2img (guided_ldm_inpainting.py:261-345).
 
     image/reference_img: [1, H, W, 3] in [-1, 1]; mask: [H, W] in {0, 1}
@@ -495,7 +499,7 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
             cfg_scale=cfg_scale, capture_kv=capture_kv,
             final_composite=last_gs > 0, has_reference=has_reference,
             tile_noise=False, want_init_decoded=want_init_decoded,
-            sampler=sampler, cfg_interval=cfg_interval)
+            sampler=sampler, cfg_interval=cfg_interval, strip=strip)
         return out, composited, init_latent_decoded, kv
 
     # ControlNet path (unfused: residuals need host-prepped hints)
@@ -531,7 +535,7 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
         t_enc=t_enc, ddim_steps=ddim_steps,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=True, use_guidance=False,
-        final_composite=last_gs > 0, control_cfgs=ccfgs)
+        final_composite=last_gs > 0, control_cfgs=ccfgs, strip=strip)
 
     init_latent_decoded = jnp.clip(sd.decode_latent(init_latent), -1, 1) \
         if want_init_decoded else None

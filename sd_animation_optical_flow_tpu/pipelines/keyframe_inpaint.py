@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.controlnet import ControlSpec, canny_hint, hed_hint
+from ..models.unet import StripConfig
 from ..ops.filters import dilate, ellipse_kernel
 from ..ops.warp import warp_frame
 from ..utils.images import bgr_u8_to_model, model_to_bgr_u8, write_png
@@ -520,7 +521,11 @@ def generate_with_refs(sd_inpaint, tagger, video: VideoWorkspace,
             mask_blur=cfg.mask_blur,
             guidance_schedule_func=cfg.guidance_schedule_func,
             seed=cfg.seed, capture_kv=cfg.use_reference_kv,
-            control_specs=_default_controls(control_bundle, strip))
+            control_specs=_default_controls(control_bundle, strip),
+            # forward_mfr band bias (attention.py:243-310): the target
+            # tile is attracted to spatially-corresponding reference
+            # pixels at every self-attention layer
+            strip=StripConfig(n_tiles=n_ref + 1, mode="target"))
         frame = model_to_bgr_u8(out)[:, :w]
         return frame, kv
 
@@ -539,7 +544,12 @@ def generate_seed_frames(sd, tagger, video: VideoWorkspace,
         sd, bgr_u8_to_model(strip), prompt, NEGATIVE_PROMPT,
         cfg.denoising_strength, cfg.ddim_steps, seed=cfg.seed,
         capture_kv=cfg.use_reference_kv,
-        control_specs=_default_controls(control_bundle, strip))
+        control_specs=_default_controls(control_bundle, strip),
+        # joint seed strips: all tiles are targets — mutual band
+        # attraction keeps the seeds coherent (generalization of the
+        # reference's 2-tile forward_mfr to n denoised tiles)
+        strip=StripConfig(n_tiles=len(seed_indices), mode="mutual")
+        if len(seed_indices) > 1 else None)
     strip_bgr = model_to_bgr_u8(out)
     return np.split(strip_bgr, len(seed_indices), axis=1), kv
 

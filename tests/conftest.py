@@ -22,6 +22,48 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Compile-heavy tests (measured >8s wall on CPU, pipeline scans / big
+# models). `pytest -m "not slow"` is the <2-minute smoke tier; the full
+# suite stays the default.
+_SLOW_TESTS = {
+    "test_keyframe_pipeline_end_to_end", "test_raft_small_shapes",
+    "test_train_step_with_concat", "test_flow_train_step_learns",
+    "test_log_images_panel_dict", "test_ofgen_run",
+    "test_unet_class_conditioning_changes_output",
+    "test_p_losses_hybrid_and_adm",
+    "test_sharded_train_step_runs_and_reduces_loss",
+    "test_img2img_dpmpp_sampler", "test_pixel_inpaint_pipeline_end_to_end",
+    "test_img2img_deepcache_knob", "test_run_batched_matches_run",
+    "test_deepcache_interval_one_matches_plain",
+    "test_facade_with_controlnet", "test_raft_apply_shapes",
+    "test_img2img_inpaint_batch_matches_sequential",
+    "test_img2img_shape_and_determinism",
+    "test_dpt_depth_shapes_and_nonneg", "test_npz_roundtrip_unet",
+    "test_txt2img_and_inversion", "test_upscale_end_to_end",
+    "test_img2img_pixel_space_guidance",
+    "test_hed_network_and_port_roundtrip",
+    "test_sharded_unet_forward_matches_single",
+    "test_img2img_inpaint_contract", "test_controlnet_residual_shapes",
+    "test_depth2img_end_to_end", "test_img2img_latent_inpaint",
+    "test_upscale_fixed_noise_level_deterministic",
+    "test_flow_confidence_estimator_api", "test_unet_port_and_parity",
+    "test_cli_port_writes_pytrees", "test_flow_cache_and_pairwise",
+    "test_dpt_nonsquare_pos_embed", "test_raft_all_iters_shapes",
+    "test_vq_roundtrip_shapes", "test_raft_alternate_corr_path",
+    "test_img2img_with_guidance",
+    "test_alt_correlation_matches_pyramid_lookup",
+    "test_unet_strip_matches_materialized_biases",
+    "test_strip_generation_modes_use_mfr",
+    "test_strip_sp_denoise_matches_single",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
