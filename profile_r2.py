@@ -39,7 +39,10 @@ def timed(name, fn, *args, iters=ITERS, flops=None):
                 return out
             # cheap dependency: fold a scalar of the output back in
             return x + jnp.mean(out).astype(x.dtype) * 0
-        return lax.fori_loop(0, iters, body, a[-1])
+        final = lax.fori_loop(0, iters, body, a[-1])
+        # return a SCALAR: device_get of a big tensor would drag the
+        # ~80MB/s host link into the measurement
+        return jnp.sum(final.astype(jnp.float32))
 
     # NOTE: block_until_ready does NOT block through the axon tunnel —
     # device_get is the only reliable completion barrier here.
@@ -150,8 +153,9 @@ def prof_unet_parts():
     timed("self-attn 6144 tok d40 (routed)",
           lambda q, k, x: attention(q, k, x), q, q, q)
     kc = jnp.zeros((CFGB, 231, 8, 40), DT)
+    vc = jnp.zeros((CFGB, 231, 8, 40), DT)
     timed("cross-attn 6144x231 (routed)",
-          lambda q, k, x: attention(q, k, x) * 0 + q * 0, q, kc, q)
+          lambda q, k, v: attention(q, k, v), q, kc, vc)
 
     # GEGLU ff at L0
     from sd_animation_optical_flow_tpu.models.layers import linear_init

@@ -53,6 +53,21 @@ class StripConfig:
 
 
 @dataclass(frozen=True)
+class SeqParallelConfig:
+    """Sequence-parallel self-attention over a device mesh (SURVEY §2.7
+    sequence-parallel row; BASELINE config 5). The latent's H (row) axis
+    is sharded over ``mesh[axis]``: row-major token flattening keeps the
+    token axis contiguously sharded, convs spatially partition via GSPMD
+    halo exchange, and every self-attention runs Ulysses-style (one
+    all-to-all to a head sharding, full-sequence attention on owned
+    heads, all-to-all back — composes with the MFR strip band bias since
+    each chip sees the whole sequence). Requires num_heads % mesh[axis]
+    == 0."""
+    mesh: Any            # jax.sharding.Mesh (hashable)
+    axis: str = "sp"
+
+
+@dataclass(frozen=True)
 class UNetConfig:
     in_channels: int = 4           # 9 for the inpainting UNet
     out_channels: int = 4
@@ -150,7 +165,8 @@ def _merge_heads(x):
     return x.reshape(b, n, h * d)
 
 
-def _self_attention(p, x, n_heads, ref_kv, bias=None, strip=None, hw=None):
+def _self_attention(p, x, n_heads, ref_kv, bias=None, strip=None, hw=None,
+                    sp=None):
     """Self-attention; returns (out, (k, v)) with k/v of shape [B, N, C]
     (pre-head-split, post-projection) for cross-frame reuse.
 
@@ -166,6 +182,27 @@ def _self_attention(p, x, n_heads, ref_kv, bias=None, strip=None, hw=None):
                             p["to_v"]["w"]], axis=1).astype(x.dtype)
     q, k, v = jnp.split(x @ wqkv, 3, axis=-1)
     captured = (k, v)
+
+    if sp is not None:
+        # Ulysses sequence parallelism: tokens arrive sharded over
+        # sp.axis (H-row sharding of the NHWC latent = contiguous token
+        # blocks); the strip MFR bias rides inside since each chip sees
+        # the full sequence for its heads.
+        assert ref_kv is None and bias is None, \
+            "sequence-parallel attention does not compose with ref_kv/bias"
+        from ..parallel.ring_attention import ulysses_attention
+        attn_fn = None
+        if strip is not None and strip.n_tiles > 1:
+            from ..ops.attention import strip_attention
+
+            def attn_fn(qh, kh, vh):
+                return strip_attention(qh, kh, vh, h=hw[0], w_strip=hw[1],
+                                       n_tiles=strip.n_tiles,
+                                       mode=strip.mode)
+        out = ulysses_attention(_heads(q, n_heads), _heads(k, n_heads),
+                                _heads(v, n_heads), sp.mesh,
+                                seq_axis=sp.axis, attn_fn=attn_fn)
+        return linear(p["to_out"], _merge_heads(out)), captured
 
     if strip is not None and strip.n_tiles > 1:
         # MFR strip band bias (analytic kernel on TPU); exclusive with
@@ -236,7 +273,7 @@ def _geglu_ff(p, x):
 
 
 def _spatial_transformer(p, x, context, n_heads, ref_kv, attn_bias=None,
-                         strip=None):
+                         strip=None, sp=None):
     """Returns (out, kv_list) — one (k, v) per depth block."""
     b, h, w, c = x.shape
     res = x
@@ -247,7 +284,7 @@ def _spatial_transformer(p, x, context, n_heads, ref_kv, attn_bias=None,
     for blk in p["blocks"]:
         a1, kv = _self_attention(blk["attn1"], layer_norm(blk["norm1"], x),
                                  n_heads, ref_kv, bias=attn_bias,
-                                 strip=strip, hw=(h, w))
+                                 strip=strip, hw=(h, w), sp=sp)
         x = x + a1
         kvs.append(kv)
         x = x + _cross_attention(blk["attn2"], layer_norm(blk["norm2"], x),
@@ -335,7 +372,8 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
                control: Optional[Tuple] = None,
                attn_biases: Optional[dict] = None,
                y: Optional[jnp.ndarray] = None,
-               strip: Optional[StripConfig] = None):
+               strip: Optional[StripConfig] = None,
+               sp: Optional[SeqParallelConfig] = None):
     """Forward pass.
 
     Args:
@@ -353,6 +391,8 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
       strip: optional StripConfig — x is a width-concatenated
         multi-frame strip and every self-attention applies the MFR band
         bias (reference forward_mfr, attention.py:220-324).
+      sp: optional SeqParallelConfig — shard the latent's row axis over
+        a mesh; self-attention runs Ulysses sequence-parallel.
 
     Returns:
       (out [B, H, W, out_channels], kv_hist 16-tuple of (k, v)).
@@ -369,13 +409,20 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
         rkv = ref_kv[layer_idx] if ref_kv is not None else None
         bias = attn_biases.get(layer_idx) if attn_biases else None
         h, kvs = _spatial_transformer(p, h, context, nh, rkv, bias,
-                                      strip=strip)
+                                      strip=strip, sp=sp)
         return h, kvs
 
     kv_hist: list = []
     layer = 0
     hs = []
     h = x
+    if sp is not None:
+        # H-row sharding: convs spatially partition (GSPMD halo
+        # exchange); row-major token flattening keeps attention's token
+        # axis contiguously sharded
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        h = jax.lax.with_sharding_constraint(
+            h, NamedSharding(sp.mesh, _P(None, sp.axis, None, None)))
     for blk in params["input_blocks"]:
         if "conv" in blk:
             h = conv2d(blk["conv"], h)

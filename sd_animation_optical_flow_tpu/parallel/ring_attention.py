@@ -75,13 +75,18 @@ def ring_attention(q, k, v, mesh: Mesh, *, seq_axis: str = "dp"):
 # Ulysses-style sequence parallelism (all-to-all head scatter)
 # ---------------------------------------------------------------------------
 
-def _ulysses_local(q, k, v, axis_name: str):
+def _ulysses_local(q, k, v, axis_name: str, attn_fn=None):
     """Per-shard body: all-to-all reshards sequence-sharded [B, n_loc, H, D]
     into head-sharded [B, N, H/dev, D], runs FULL-sequence attention
-    locally on the owned heads, and all-to-alls back."""
+    locally on the owned heads, and all-to-alls back.
+
+    ``attn_fn(qh, kh, vh) -> [B, N, H/dev, D]`` replaces the plain
+    softmax attention — this is how biased variants (the MFR strip band
+    kernel) compose with sequence parallelism: every chip sees the full
+    sequence for its heads, so position-dependent biases need no
+    re-indexing."""
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
-    n_dev = jax.lax.psum(1, axis_name)
 
     def seq_to_heads(x):
         # tiled all-to-all: split the head axis across the mesh, gather
@@ -97,6 +102,9 @@ def _ulysses_local(q, k, v, axis_name: str):
     qh = seq_to_heads(q)
     kh = seq_to_heads(k)
     vh = seq_to_heads(v)
+    if attn_fn is not None:
+        o = attn_fn(qh, kh, vh).astype(q.dtype)
+        return heads_to_seq(o)
     s = jnp.einsum("bqhd,bkhd->bhqk", qh.astype(jnp.float32),
                    kh.astype(jnp.float32),
                    preferred_element_type=jnp.float32) * scale
@@ -106,7 +114,8 @@ def _ulysses_local(q, k, v, axis_name: str):
     return heads_to_seq(o)
 
 
-def ulysses_attention(q, k, v, mesh: Mesh, *, seq_axis: str = "dp"):
+def ulysses_attention(q, k, v, mesh: Mesh, *, seq_axis: str = "dp",
+                      attn_fn=None):
     """Ulysses-style sequence-parallel self-attention (SURVEY §2.7: the
     all-to-all head-scatter alternative to ring attention): one
     all-to-all converts the sequence sharding into a head sharding, each
@@ -118,7 +127,8 @@ def ulysses_attention(q, k, v, mesh: Mesh, *, seq_axis: str = "dp"):
     assert q.shape[2] % n_dev == 0, "heads must divide the mesh axis"
     spec = P(None, seq_axis, None, None)
     fn = shard_map(
-        functools.partial(_ulysses_local, axis_name=seq_axis),
+        functools.partial(_ulysses_local, axis_name=seq_axis,
+                          attn_fn=attn_fn),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_rep=False)
     return fn(q, k, v)

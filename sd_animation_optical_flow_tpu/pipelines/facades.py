@@ -113,7 +113,7 @@ def _latent_hw(img_shape):
                      "use_inpaint", "use_guidance", "final_composite",
                      "control_cfgs", "tile_noise", "guidance_space",
                      "sampler", "cfg_interval", "deepcache_interval",
-                     "strip"))
+                     "strip", "sp"))
 def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   init_latent, ctx_cond, ctx_uncond, c_concat,
                   guidance_latent, guidance_strength, nmask, renoise_gate,
@@ -122,7 +122,8 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                   cfg_scale, capture_kv, use_inpaint, use_guidance,
                   final_composite, control_cfgs=(), tile_noise=False,
                   guidance_space="latent", sampler="ddim",
-                  cfg_interval=1, deepcache_interval=0, strip=None):
+                  cfg_interval=1, deepcache_interval=0, strip=None,
+                  sp=None):
     """stochastic_encode -> scanned guided DDIM -> (final composite) ->
     VAE decode. One compiled program per static signature.
 
@@ -139,7 +140,8 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
 
     def model_fn(x, t, ctx, control=None):
         out, _ = U.unet_apply(unet_params, unet_cfg, x, t, ctx,
-                              ref_kv=ref_kv, control=control, strip=strip)
+                              ref_kv=ref_kv, control=control, strip=strip,
+                              sp=sp)
         return out
 
     cond = D.CondBundle(crossattn=ctx_cond, concat=c_concat)
@@ -243,14 +245,14 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                      "ddim_steps", "parameterization", "cfg_scale",
                      "capture_kv", "final_composite", "has_reference",
                      "tile_noise", "want_init_decoded", "sampler",
-                     "cfg_interval", "strip"))
+                     "cfg_interval", "strip", "sp"))
 def _inpaint_fused(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                    image, reference_img, mask01, ctx_c, ctx_u, gates,
                    ref_kv, rng, *, mask_blur, t_enc, ddim_steps,
                    parameterization, cfg_scale, capture_kv,
                    final_composite, has_reference, tile_noise,
                    want_init_decoded, sampler="ddim", cfg_interval=1,
-                   strip=None):
+                   strip=None, sp=None):
     """image/reference_img [B, H, W, 3]; mask01 [B, H, W]. RNG splits and
     noise draws exactly mirror the unfused path (split(rng, 4); tiled
     [1,...] posterior noise broadcast over B — identical at B=1), so
@@ -302,7 +304,7 @@ def _inpaint_fused(unet_params, unet_cfg, vae_params, vae_cfg, sched,
         parameterization=parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=True, use_guidance=False,
         final_composite=final_composite, tile_noise=tile_noise,
-        sampler=sampler, cfg_interval=cfg_interval, strip=strip)
+        sampler=sampler, cfg_interval=cfg_interval, strip=strip, sp=sp)
     init_decoded = jnp.clip(V.decode(vae_params, vae_cfg, init_latent),
                             -1, 1) if want_init_decoded else None
     return out, composited, init_decoded, kv
@@ -344,7 +346,8 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
             control_specs=(), guidance_space: str = "latent",
             sampler: str = "ddim", cfg_interval: int = 1,
             deepcache_interval: int = 0,
-            strip: Optional[U.StripConfig] = None):
+            strip: Optional[U.StripConfig] = None,
+            sp: Optional[U.SeqParallelConfig] = None):
     """Plain guided img2img (guided_ldm.py:165-219).
 
     img: [1, H, W, 3] in [-1, 1]. Returns (image, kv_hist).
@@ -383,7 +386,7 @@ def img2img(sd: StableDiffusionBundle, img, c_text: str, uc_text: str,
         use_guidance=use_guidance, final_composite=False,
         control_cfgs=ccfgs, guidance_space=guidance_space,
         sampler=sampler, cfg_interval=cfg_interval,
-        deepcache_interval=deepcache_interval, strip=strip)
+        deepcache_interval=deepcache_interval, strip=strip, sp=sp)
     return out, kv
 
 
@@ -459,7 +462,8 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
                     reference_kv=None, capture_kv: bool = False,
                     control_specs=(), want_init_decoded: bool = True,
                     sampler: str = "ddim", cfg_interval: int = 1,
-                    strip: Optional[U.StripConfig] = None):
+                    strip: Optional[U.StripConfig] = None,
+                    sp: Optional[U.SeqParallelConfig] = None):
     """Masked inpainting img2img (guided_ldm_inpainting.py:261-345).
 
     image/reference_img: [1, H, W, 3] in [-1, 1]; mask: [H, W] in {0, 1}
@@ -499,7 +503,8 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
             cfg_scale=cfg_scale, capture_kv=capture_kv,
             final_composite=last_gs > 0, has_reference=has_reference,
             tile_noise=False, want_init_decoded=want_init_decoded,
-            sampler=sampler, cfg_interval=cfg_interval, strip=strip)
+            sampler=sampler, cfg_interval=cfg_interval, strip=strip,
+            sp=sp)
         return out, composited, init_latent_decoded, kv
 
     # ControlNet path (unfused: residuals need host-prepped hints)
@@ -535,7 +540,8 @@ def img2img_inpaint(sd: StableDiffusionBundle, image, c_text: str,
         t_enc=t_enc, ddim_steps=ddim_steps,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
         capture_kv=capture_kv, use_inpaint=True, use_guidance=False,
-        final_composite=last_gs > 0, control_cfgs=ccfgs, strip=strip)
+        final_composite=last_gs > 0, control_cfgs=ccfgs, strip=strip,
+        sp=sp)
 
     init_latent_decoded = jnp.clip(sd.decode_latent(init_latent), -1, 1) \
         if want_init_decoded else None
@@ -607,7 +613,8 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
                           ddim_steps: int = 50, mask_blur: int = 16,
                           guidance_schedule_func=None,
                           cfg_scale: float = 7.0, seed: int = 1234,
-                          sampler: str = "ddim", cfg_interval: int = 1):
+                          sampler: str = "ddim", cfg_interval: int = 1,
+                          mesh=None):
     """B independent masked-inpainting frames in ONE compiled program.
 
     TPU-first throughput design with no reference counterpart: inside a
@@ -620,6 +627,10 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
 
     images/reference_imgs: [B, H, W, 3] in [-1, 1]; masks [B, H, W] in
     {0, 1}; c_texts: list of B prompts. Returns images [B, H, W, 3].
+
+    ``mesh``: optional jax.sharding.Mesh with a 'dp' axis — frames shard
+    over dp (data-parallel inference; BASELINE config 2 scale-out). The
+    same program, same noise tiling: outputs match the single-device run.
     """
     b = images.shape[0]
     assert len(c_texts) == b
@@ -627,6 +638,17 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
     ctx_c = jnp.concatenate(
         [sd.get_learned_conditioning(t) for t in c_texts], axis=0)
     ctx_u = jnp.tile(sd.get_learned_conditioning(uc_text), (b, 1, 1))
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+        images = jax.device_put(jnp.asarray(images, sd.dtype),
+                                batch_sharding(mesh))
+        reference_imgs = jax.device_put(
+            jnp.asarray(reference_imgs, sd.dtype), batch_sharding(mesh))
+        masks = jax.device_put(jnp.asarray(masks, jnp.float32),
+                               batch_sharding(mesh, ndim=3))
+        ctx_c = jax.device_put(ctx_c, batch_sharding(mesh, ndim=3))
+        ctx_u = jax.device_put(ctx_u, batch_sharding(mesh, ndim=3))
 
     t_enc = _t_enc(denoising_strength, ddim_steps)
     ps = D.guidance_progress(t_enc, ddim_steps)

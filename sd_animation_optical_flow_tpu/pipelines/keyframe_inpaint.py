@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.controlnet import ControlSpec, canny_hint, hed_hint
-from ..models.unet import StripConfig
+from ..models.unet import SeqParallelConfig, StripConfig
 from ..ops.filters import dilate, ellipse_kernel
 from ..ops.warp import warp_frame
 from ..utils.images import bgr_u8_to_model, model_to_bgr_u8, write_png
@@ -433,6 +433,10 @@ class KeyframeInpaintConfig:
     mode: str = "warp_and_inpaint_crossattn"
     flow_batch: int = 16
     use_reference_kv: bool = True
+    # sequence parallelism for the strip modes: shard the strip's row
+    # axis over a mesh (SeqParallelConfig) — None keeps single-device
+    # dense attention
+    sp: Optional[SeqParallelConfig] = None
     guidance_schedule_func = staticmethod(lambda p: 1.0)
 
 
@@ -525,7 +529,8 @@ def generate_with_refs(sd_inpaint, tagger, video: VideoWorkspace,
             # forward_mfr band bias (attention.py:243-310): the target
             # tile is attracted to spatially-corresponding reference
             # pixels at every self-attention layer
-            strip=StripConfig(n_tiles=n_ref + 1, mode="target"))
+            strip=StripConfig(n_tiles=n_ref + 1, mode="target"),
+            sp=cfg.sp)
         frame = model_to_bgr_u8(out)[:, :w]
         return frame, kv
 
@@ -549,7 +554,8 @@ def generate_seed_frames(sd, tagger, video: VideoWorkspace,
         # attraction keeps the seeds coherent (generalization of the
         # reference's 2-tile forward_mfr to n denoised tiles)
         strip=StripConfig(n_tiles=len(seed_indices), mode="mutual")
-        if len(seed_indices) > 1 else None)
+        if len(seed_indices) > 1 else None,
+        sp=cfg.sp)
     strip_bgr = model_to_bgr_u8(out)
     return np.split(strip_bgr, len(seed_indices), axis=1), kv
 

@@ -131,3 +131,93 @@ def test_ulysses_attention_matches_dense(rng):
     want = xla_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_attn_fn_mfr_matches_dense(rng):
+    """Ulysses with the MFR strip attention as the inner attn_fn equals
+    the dense materialized-bias reference — the sequence-parallel form
+    of forward_mfr strip denoising."""
+    from sd_animation_optical_flow_tpu.ops import attention as A
+    from sd_animation_optical_flow_tpu.parallel.ring_attention import (
+        ulysses_attention)
+
+    mesh = M.make_mesh(dp=8, tp=1)
+    h, w_tile, n_tiles, heads, d = 8, 4, 2, 8, 16
+    N = h * n_tiles * w_tile
+    q = jax.random.normal(rng, (2, N, heads, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, N, heads, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, N, heads, d))
+
+    def attn_fn(qh, kh, vh):
+        return A.strip_attention(qh, kh, vh, h=h, w_strip=n_tiles * w_tile,
+                                 n_tiles=n_tiles, mode="target")
+
+    got = ulysses_attention(q, k, v, mesh, seq_axis="dp", attn_fn=attn_fn)
+    bias = A.mfr_strip_bias(h, w_tile, n_tiles)[None, None]
+    want = A.xla_attention(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def _sp_bundle(rng):
+    """Tiny bundle with 8 heads (divisible by the 8-way sp mesh)."""
+    from sd_animation_optical_flow_tpu.models import clip as CL
+    from sd_animation_optical_flow_tpu.models import vae as V
+    from sd_animation_optical_flow_tpu.pipelines import facades as F
+    from sd_animation_optical_flow_tpu.pipelines.tokenizer import \
+        PromptTokenizer
+    kv, ku, kc = jax.random.split(rng, 3)
+    vcfg = V.VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1)
+    ucfg = U.UNetConfig(model_channels=16, channel_mult=(1, 2),
+                        attention_resolutions=(1,), num_heads=8,
+                        context_dim=32)
+    ccfg = CL.CLIPTextConfig(vocab_size=49408, width=32, layers=1, heads=2)
+    return F.StableDiffusionBundle(
+        unet_params=U.unet_init(ku, ucfg), unet_cfg=ucfg,
+        vae_params=V.vae_init(kv, vcfg), vae_cfg=vcfg,
+        clip_params=CL.clip_text_init(kc, ccfg), clip_cfg=ccfg,
+        tokenizer=PromptTokenizer(hf_name_or_path=None))
+
+
+def test_strip_sp_denoise_matches_single(rng):
+    """A strip-mode img2img denoise sharded over the 8-device mesh
+    (H-row sharding + Ulysses attention + in-loop MFR bias) must match
+    the single-device run — BASELINE config 5 end-to-end."""
+    from sd_animation_optical_flow_tpu.pipelines import facades as F
+
+    sd = _sp_bundle(rng)
+    # 2-tile strip, 32x32 tiles -> latent 16x32, h=16 rows over 8 devices
+    img = jax.random.uniform(jax.random.PRNGKey(5), (1, 32, 64, 3)) * 2 - 1
+    strip = U.StripConfig(n_tiles=2, mode="target")
+    ref, _ = F.img2img(sd, img, "a", "b", 0.4, ddim_steps=4, seed=3,
+                       strip=strip)
+    mesh = M.make_mesh(dp=8, tp=1)
+    sp = U.SeqParallelConfig(mesh=mesh, axis="dp")
+    got, _ = F.img2img(sd, img, "a", "b", 0.4, ddim_steps=4, seed=3,
+                       strip=strip, sp=sp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_dp_inpaint_batch_sharded_matches_single(rng):
+    """8-frame img2img_inpaint_batch sharded 8-ways over dp equals the
+    single-device batch (same program, same tiled noise)."""
+    from sd_animation_optical_flow_tpu.pipelines import facades as F
+    from tests.test_pipeline import _tiny_bundle
+
+    sd = _tiny_bundle(jax.random.PRNGKey(7), in_channels=9)
+    b = 8
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (b, 32, 32, 3)) * 2 - 1
+    refs = jax.random.uniform(jax.random.PRNGKey(1), (b, 32, 32, 3)) * 2 - 1
+    masks = np.zeros((b, 32, 32), np.float32)
+    masks[:, 8:24, 8:24] = 1.0
+    texts = ["p"] * b
+    ref = F.img2img_inpaint_batch(sd, imgs, texts, "n", masks, refs,
+                                  denoising_strength=0.3, ddim_steps=4,
+                                  mask_blur=0, seed=11)
+    mesh = M.make_mesh(dp=8, tp=1)
+    got = F.img2img_inpaint_batch(sd, imgs, texts, "n", masks, refs,
+                                  denoising_strength=0.3, ddim_steps=4,
+                                  mask_blur=0, seed=11, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
