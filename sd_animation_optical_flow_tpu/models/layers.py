@@ -145,27 +145,35 @@ def group_norm(p, x, *, num_groups: int = 32, eps: float = 1e-5):
     # SD channel counts are always divisible by 32 (gcd == num_groups);
     # the gcd only kicks in for small test configs.
     g = math.gcd(num_groups, c)
-    # Layout-preserving stats: every big-tensor op stays in the native
-    # [..., C] layout (C on the lane axis). The textbook reshape to
-    # [B, S, G, C/G] puts C/G (as small as 4) on the lane axis — a full
-    # relayout of the tensor into nearly-empty tiles; measured 6.2ms ->
-    # 2.8ms per VAE resblock at 512x768x128 on v5e. Two-pass moments in
-    # f32 (GroupNorm32 semantics), group-reduced on tiny [B, G] arrays.
+    # Layout-preserving, TWO-pass total: every big-tensor op stays in the
+    # native [..., C] layout (C on the lane axis — the textbook reshape
+    # to [B, S, G, C/G] forces a full relayout into nearly-empty tiles).
+    # Pass 1 reduces E[x] and E[x^2] together in one fused read of x
+    # (moments via E[x^2] - E[x]^2; VAE/UNet activations are O(10) so
+    # the cancellation is benign in f32). Pass 2 is a single fused
+    # y = x*a + b with the mean/rsqrt/affine folded into per-channel
+    # [B, C] coefficients — no materialized f32 centered tensor (that
+    # intermediate was ~4x the HBM traffic at 512x768x128 on v5e).
     reduce_axes = tuple(range(1, x.ndim - 1))            # spatial axes
     xf32 = x.astype(jnp.float32)
-    m_c = jnp.mean(xf32, axis=reduce_axes)               # [B, C]
-    m_g = jnp.mean(m_c.reshape(b, g, c // g), axis=2)    # [B, G]
+    s1 = jnp.mean(xf32, axis=reduce_axes)                # [B, C]
+    s2 = jnp.mean(xf32 * xf32, axis=reduce_axes)         # [B, C] same pass
+    m_g = jnp.mean(s1.reshape(b, g, c // g), axis=2)     # [B, G]
+    e2_g = jnp.mean(s2.reshape(b, g, c // g), axis=2)    # [B, G]
+    v_g = jnp.maximum(e2_g - m_g * m_g, 0.0)
+    inv_g = jax.lax.rsqrt(v_g + eps)
+    inv_c = jnp.repeat(inv_g, c // g, axis=1)            # [B, C]
     mean_c = jnp.repeat(m_g, c // g, axis=1)             # [B, C]
+    scale = p["scale"].astype(jnp.float32)[None]         # [1, C]
+    bias = p["bias"].astype(jnp.float32)[None]
+    a = inv_c * scale                                    # [B, C]
+    sh = bias - mean_c * a
     bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
-    centered = xf32 - mean_c.reshape(bshape)
-    v_c = jnp.mean(jnp.square(centered), axis=reduce_axes)
-    v_g = jnp.mean(v_c.reshape(b, g, c // g), axis=2)
-    inv_c = jnp.repeat(jax.lax.rsqrt(v_g + eps), c // g, axis=1)
-    # affine in the INPUT dtype: stats stay f32 but the big elementwise
-    # tensors round to bf16 one stage earlier, halving HBM traffic on
-    # the bf16 path; f32 inputs keep full precision.
-    y = (centered * inv_c.reshape(bshape)).astype(orig_dtype)
-    return y * p["scale"].astype(orig_dtype) + p["bias"].astype(orig_dtype)
+    # pass 2 — one fused elementwise loop (read x, write y; the f32
+    # intermediate lives in registers, so precision is free): the
+    # subtraction-and-scale happens in f32 and rounds once at the end
+    return (xf32 * a.reshape(bshape)
+            + sh.reshape(bshape)).astype(orig_dtype)
 
 
 def layer_norm(p, x, *, eps: float = 1e-5):
@@ -239,3 +247,41 @@ def nearest_upsample2x(x):
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def upsample2x_conv(p, x):
+    """``conv2d(p, nearest_upsample2x(x))`` for a 3x3 SAME conv, computed
+    as four subpixel 2x2 convs on the LOW-res input.
+
+    Nearest-neighbour upsampling duplicates pixels, so each of the four
+    output parities (dp, dq) sees at most 2 distinct source pixels per
+    axis: parity 0 taps rows (i-1, i) with weights (w0, w1+w2); parity 1
+    taps (i, i+1) with (w0+w1, w2). Summing weights instead of repeating
+    pixels cuts the conv FLOPs to 16/36 of the upsampled form and never
+    materializes the 4x intermediate — the interleave reshape at the end
+    is a layout no-op (row-major (i, dp) == 2i+dp). Exact same sums as
+    the reference's Upsample block (openaimodel.py Upsample /
+    model.py:Upsample) modulo f32 weight pre-addition."""
+    w = p["w"].astype(x.dtype)                      # [3, 3, I, O]
+    # per-axis 2-tap kernels, rows then columns
+    r0 = jnp.stack([w[0], w[1] + w[2]])             # [2, 3, I, O] (dp=0)
+    r1 = jnp.stack([w[0] + w[1], w[2]])             # [2, 3, I, O] (dp=1)
+    ks = {}
+    for dp, r in ((0, r0), (1, r1)):
+        ks[(dp, 0)] = jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1)
+        ks[(dp, 1)] = jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1)
+    pads = {0: (1, 0), 1: (0, 1)}                   # taps (i-1,i) / (i,i+1)
+    ys = {}
+    for (dp, dq), k in ks.items():
+        ys[(dp, dq)] = jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1),
+            padding=(pads[dp], pads[dq]),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b, h, wd, _ = x.shape
+    o = ys[(0, 0)].shape[-1]
+    y = jnp.stack([jnp.stack([ys[(0, 0)], ys[(0, 1)]], axis=3),
+                   jnp.stack([ys[(1, 0)], ys[(1, 1)]], axis=3)], axis=2)
+    y = y.reshape(b, 2 * h, 2 * wd, o)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y

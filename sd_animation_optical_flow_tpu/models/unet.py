@@ -29,8 +29,8 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention
 from .layers import (conv2d, conv2d_init, group_norm, layer_norm, linear,
-                     linear_init, norm_init, nearest_upsample2x, swish,
-                     timestep_embedding)
+                     linear_init, norm_init, swish,
+                     timestep_embedding, upsample2x_conv)
 
 # SD-1.5 has 16 spatial transformers: 6 encoder, 1 middle, 9 decoder.
 NUM_KV_LAYERS = 16
@@ -457,8 +457,7 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
             kv_hist.extend(kvs)
             layer += 1
         if "up" in blk:
-            h = nearest_upsample2x(h)
-            h = conv2d(blk["up"], h)
+            h = upsample2x_conv(blk["up"], h)
 
     h = swish(group_norm(params["out"]["norm"], h))
     out = conv2d(params["out"]["conv"], h)
@@ -531,8 +530,7 @@ def unet_apply_deepcache(params, cfg: UNetConfig, x, timesteps, context,
                 h, _ = _spatial_transformer(blk["transformer"], h,
                                             context, nh, None)
             if "up" in blk:
-                h = nearest_upsample2x(h)
-                h = conv2d(blk["up"], h)
+                h = upsample2x_conv(blk["up"], h)
         deep_feat = h
     else:
         deep_feat = deep_cache
@@ -546,8 +544,7 @@ def unet_apply_deepcache(params, cfg: UNetConfig, x, timesteps, context,
             h, _ = _spatial_transformer(blk["transformer"], h, context,
                                         nh, None)
         if "up" in blk:
-            h = nearest_upsample2x(h)
-            h = conv2d(blk["up"], h)
+            h = upsample2x_conv(blk["up"], h)
 
     h = swish(group_norm(params["out"]["norm"], h))
     out = conv2d(params["out"]["conv"], h)

@@ -18,8 +18,9 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import attention
 from .layers import (conv2d, conv2d_init, group_norm, norm_init,
-                     nearest_upsample2x, swish)
+                     swish, upsample2x_conv)
 
 GN_EPS = 1e-6  # the VAE uses eps=1e-6 GroupNorm (model.py Normalize)
 
@@ -76,18 +77,18 @@ def _attnblock_init(rng, ch):
 
 
 def _attnblock(p, x):
+    """Mid-block single-head attention over the 1/8-res token grid.
+
+    Routed through ops.attention: at 512x768 inputs the grid is 6144
+    tokens — the materialized [B, 6144, 6144] f32 score tensor is
+    ~150MB/image of HBM traffic; the routed op streams it through the
+    flash kernel on TPU (head dim = C = 512, a lane multiple)."""
     b, hh, ww, c = x.shape
     h = group_norm(p["norm"], x, eps=GN_EPS)
-    q = conv2d(p["q"], h).reshape(b, hh * ww, c)
-    k = conv2d(p["k"], h).reshape(b, hh * ww, c)
-    v = conv2d(p["v"], h).reshape(b, hh * ww, c)
-    scores = jnp.einsum("bqc,bkc->bqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores * (1.0 / jnp.sqrt(jnp.float32(c)))
-    w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bqk,bkc->bqc", w, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.reshape(b, hh, ww, c)
+    q = conv2d(p["q"], h).reshape(b, hh * ww, 1, c)
+    k = conv2d(p["k"], h).reshape(b, hh * ww, 1, c)
+    v = conv2d(p["v"], h).reshape(b, hh * ww, 1, c)
+    out = attention(q, k, v).reshape(b, hh, ww, c)
     return x + conv2d(p["proj_out"], out)
 
 
@@ -176,8 +177,7 @@ def decoder_apply(p, cfg: VAEConfig, z):
         for blk in lvl_p["blocks"]:
             h = _resblock(blk, h)
         if "upsample" in lvl_p:
-            h = nearest_upsample2x(h)
-            h = conv2d(lvl_p["upsample"], h)
+            h = upsample2x_conv(lvl_p["upsample"], h)
     h = swish(group_norm(p["norm_out"], h, eps=GN_EPS))
     return conv2d(p["conv_out"], h)
 

@@ -54,40 +54,38 @@ DEFAULT_BLOCK_K = int(_os.environ.get("SDAOF_BLOCK_K", "1024"))
 _LOG2E = math.log2(math.e)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                  *, block_k, kv_len, masked, track_max):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref,
+                  *, block_k, kv_len, masked, track_max, d_out):
     """Grid: (batch*heads, num_q_blocks, num_k_blocks). K-loop is the last
-    (fastest-moving) grid axis; running max/denominator live in scratch.
+    (fastest-moving) grid axis; running max lives in scratch.
 
     VPU economy (the kernel is softmax-bound, not MXU-bound, at SD head
-    dims — measured 41->49 TF/s on v5e from these three): q arrives
-    PRE-SCALED by scale*log2(e) so the kernel uses exp2 and skips the
-    per-element multiply; the K-padding mask is compiled out when the
-    sequence divides the block (``masked``); matmuls run in the input
-    dtype (bf16) with f32 accumulation. Finite -1e30 stands in for -inf
-    so a fully-masked tile yields exact zeros, never NaN."""
+    dims): q arrives PRE-SCALED by scale*log2(e) so the kernel uses exp2
+    and skips the per-element multiply; the K-padding mask is compiled
+    out when the sequence divides the block (``masked``); the softmax
+    DENOMINATOR rides the PV matmul — v carries an appended ones column
+    (launcher), so sum(p) lands in acc[:, d_out] for free on the MXU
+    instead of a separate [bq, bk] row-sum pass on the VPU. Finite
+    -1e30 stands in for -inf so a fully-masked tile yields exact zeros,
+    never NaN."""
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, -1e30)
-        l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]                                 # [bq, d] pre-scaled
     k = k_ref[0]                                 # [bk, d]
-    v = v_ref[0]                                 # [bk, d]
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-
-    if masked:
-        # mask out K padding in the last block
-        k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1)
-        s = jnp.where(k_pos < kv_len, s, -1e30)
+    v = v_ref[0]                                 # [bk, d_out + 1] (|ones)
 
     if track_max:
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if masked:
+            k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1)
+            s = jnp.where(k_pos < kv_len, s, -1e30)
         m_prev = m_ref[:]                        # [bq, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -96,31 +94,37 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         # VPU cost of the softmax (measured 1.82 -> 1.61 ms at 6144)
         p = jnp.exp2((s - m_new).astype(v.dtype))
         alpha = jnp.exp2(m_prev - m_new)
-        l_new = alpha * l_ref[:] + jnp.sum(
-            p.astype(jnp.float32), axis=-1, keepdims=True)
+        # the ones column of v keeps the denominator in acc[:, d_out],
+        # rescaled by alpha exactly like the numerator
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = m_new
-        l_ref[:] = l_new
     else:
         # max-free accumulation: SD attention logits are bounded (post-LN
         # features, scale 1/sqrt(d)), so exp2(s) cannot overflow f32
         # (needs s*log2e > 127); skipping the running max removes the
-        # max-reduce, the alpha rescale of acc, and the m traffic —
-        # measured 1.94 -> 1.76 ms at 6144 tokens on v5e. -1e30-masked
-        # entries give exp2(-1e30) == 0 exactly. SDAOF_SAFE_SOFTMAX=1
-        # restores the tracked-max form.
+        # max-reduce, the alpha rescale of acc, and the m traffic.
+        # (Mosaic requires a 32-bit matmul accumulator, so s stays f32
+        # out of the MXU; exp2 runs on the bf16 rounding as before.)
+        # -1e30-masked entries give exp2(-1e30) == 0 exactly.
+        # SDAOF_SAFE_SOFTMAX=1 restores the tracked-max form.
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if masked:
+            k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1)
+            s = jnp.where(k_pos < kv_len, s, -1e30)
         p = jnp.exp2(s.astype(v.dtype))
-        l_ref[:] = l_ref[:] + jnp.sum(
-            p.astype(jnp.float32), axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        acc = acc_ref[:]
+        o_ref[0] = (acc[:, :d_out] / acc[:, d_out:d_out + 1]
+                    ).astype(o_ref.dtype)
 
 
 def _flash_banded_kernel(q_ref, k_ref, v_ref, qpos_ref, kpos_ref,
@@ -191,27 +195,27 @@ def _flash_banded_kernel(q_ref, k_ref, v_ref, qpos_ref, kpos_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-def _flash_keymask_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+def _flash_keymask_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref,
                           *, block_k, kv_len, n_own, n_uncond,
-                          heads):
+                          heads, d_out):
     """Flash attention with the CFG KV-injection mask computed in-kernel:
     the uncond half of the batch (rows < n_uncond) attends only to its
     own keys (positions < n_own); the cond half sees every reference key
     (unet.py _self_attention semantics, reference attention.py:358-369).
     Avoids materializing the [B, 1, 1, Nk] bias and keeps the long
-    injected sequence on the flash path."""
+    injected sequence on the flash path. Max-free accumulation with the
+    denominator riding the PV matmul via v's appended ones column (see
+    _flash_kernel)."""
     g = pl.program_id(0)                       # folded batch*heads index
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_ref[:] = jnp.full_like(m_ref, -1e30)
-        l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]                                 # pre-scaled by scale*log2e
     k = k_ref[0]
-    v = v_ref[0]
+    v = v_ref[0]                                 # [bk, d_out + 1] (|ones)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
 
@@ -221,22 +225,16 @@ def _flash_keymask_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     s = jnp.where(is_uncond & (k_pos >= n_own), -1e30, s)
     s = jnp.where(k_pos < kv_len, s, -1e30)
 
-    m_prev = m_ref[:]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp2((s - m_new).astype(v.dtype))   # bf16 exp2, see _flash_kernel
-    alpha = jnp.exp2(m_prev - m_new)
-    l_new = alpha * l_ref[:] + jnp.sum(
-        p.astype(jnp.float32), axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+    p = jnp.exp2(s.astype(v.dtype))
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    m_ref[:] = m_new
-    l_ref[:] = l_new
 
     @pl.when(kv_idx == pl.num_programs(2) - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        acc = acc_ref[:]
+        o_ref[0] = (acc[:, :d_out] / acc[:, d_out:d_out + 1]
+                    ).astype(o_ref.dtype)
 
 
 def _pad_to(x, size, axis):
@@ -278,24 +276,31 @@ def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q,
 
     grid = (b * h, nq_p // block_q, nk_p // block_k)
 
+    # softmax denominator via the MXU: append a ones column to v so
+    # sum(p) accumulates in acc[:, d] during the PV matmul (the extra
+    # lane is free — MXU output lanes round up to 128 regardless)
+    vf = jnp.concatenate(
+        [vf, jnp.ones((b * h, nk_p, 1), vf.dtype)], axis=-1)
+
     track_max = _os.environ.get("SDAOF_SAFE_SOFTMAX", "0") == "1"
     out = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k,
                           kv_len=nk, masked=(nk_p != nk),
-                          track_max=track_max),
+                          track_max=track_max, d_out=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, d + 1), lambda g, i, j: (g, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, nq_p, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d + 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(qf, kf, vf)
 
     out = out[:, :nq, :].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
@@ -391,23 +396,25 @@ def flash_attention_keymask(q, k, v, *, n_own: int, n_uncond: int,
     kf = _pad_to(kf, nk_p, 1)
     vf = _pad_to(vf, nk_p, 1)
     grid = (b * h, nq_p // block_q, nk_p // block_k)
+    vf = jnp.concatenate(
+        [vf, jnp.ones((b * h, nk_p, 1), vf.dtype)], axis=-1)
     out = pl.pallas_call(
         functools.partial(_flash_keymask_kernel,
                           block_k=block_k, kv_len=nk, n_own=n_own,
-                          n_uncond=n_uncond, heads=h),
+                          n_uncond=n_uncond, heads=h, d_out=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, d + 1), lambda g, i, j: (g, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, nq_p, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d + 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(qf, kf, vf)
     return out[:, :nq, :].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
 

@@ -94,3 +94,16 @@ def test_avg_pool_and_upsample(np_rng):
                         scale_factor=2, mode="nearest")
     np.testing.assert_allclose(np.asarray(up),
                                upt.permute(0, 2, 3, 1).numpy(), rtol=1e-6)
+
+
+def test_upsample2x_conv_matches_upsample_then_conv(np_rng):
+    # the fused subpixel form must reproduce conv2d(nearest_upsample2x(x))
+    # (sums of pre-added weights — exact modulo f32 rounding)
+    import jax
+    x = np_rng.standard_normal((2, 5, 7, 6), dtype=np.float32)
+    p = L.conv2d_init(jax.random.PRNGKey(3), 6, 4, 3)
+    ref = L.conv2d(p, L.nearest_upsample2x(jnp.asarray(x)))
+    out = L.upsample2x_conv(p, jnp.asarray(x))
+    assert out.shape == ref.shape == (2, 10, 14, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
