@@ -123,6 +123,16 @@ class FlowConfidenceEstimator:
         flow, conf, log_conf = self.calc_batch_device(src, tgt)
         return np.asarray(flow), np.asarray(conf), np.asarray(log_conf)
 
+    def calc_batch_f16(self, src, tgt):
+        """Like calc_batch but downloads flow+confidence as float16 and
+        skips the log-confidence pull — half the bytes per pair on the
+        host link (the keyframe pipeline's pairwise flow phase ships
+        O(N^2) pairs; flow resolution 1/2048 px and conf 1/2048 are far
+        below the 0.95-threshold granularity)."""
+        flow, conf, _ = self.calc_batch_device(src, tgt)
+        return (np.asarray(flow.astype(jnp.float16)),
+                np.asarray(conf.astype(jnp.float16)))
+
     def calc_batch_device(self, src, tgt):
         """Async variant: returns device arrays without host sync, so the
         caller can dispatch flow for frame t+1 while frame t's denoise is

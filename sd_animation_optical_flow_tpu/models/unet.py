@@ -225,13 +225,19 @@ def _self_attention(p, x, n_heads, ref_kv, bias=None, strip=None, hw=None,
             # CFG batch (uncond half keeps own K/V). Pad own K/V along the
             # token axis so both halves have static equal shapes; the
             # duplicated keys in the uncond half are masked out via bias.
+            # rk batch 1 broadcasts one reference set over the whole CFG
+            # batch; rk batch b//2 carries PER-FRAME reference sets
+            # (batched level back-fill: each frame injects its own
+            # references' K/V).
             b = x.shape[0]
             nref = rk.shape[1]
             reps = -(-nref // k.shape[1])
             own_k = jnp.tile(k[: b // 2], (1, reps, 1))[:, :nref]
             own_v = jnp.tile(v[: b // 2], (1, reps, 1))[:, :nref]
-            k = jnp.concatenate([own_k, jnp.tile(rk, (b // 2, 1, 1))], axis=0)
-            v = jnp.concatenate([own_v, jnp.tile(rv, (b // 2, 1, 1))], axis=0)
+            rk_b = rk if rk.shape[0] == b // 2 else jnp.tile(rk, (b // 2, 1, 1))
+            rv_b = rv if rv.shape[0] == b // 2 else jnp.tile(rv, (b // 2, 1, 1))
+            k = jnp.concatenate([own_k, rk_b], axis=0)
+            v = jnp.concatenate([own_v, rv_b], axis=0)
             n_own = captured[0].shape[1]
             if bias is None:
                 # analytic in-kernel mask keeps the long injected

@@ -614,7 +614,8 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
                           guidance_schedule_func=None,
                           cfg_scale: float = 7.0, seed: int = 1234,
                           sampler: str = "ddim", cfg_interval: int = 1,
-                          mesh=None):
+                          mesh=None, reference_kv=None,
+                          capture_kv: bool = False):
     """B independent masked-inpainting frames in ONE compiled program.
 
     TPU-first throughput design with no reference counterpart: inside a
@@ -631,6 +632,12 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
     ``mesh``: optional jax.sharding.Mesh with a 'dp' axis — frames shard
     over dp (data-parallel inference; BASELINE config 2 scale-out). The
     same program, same noise tiling: outputs match the single-device run.
+
+    ``reference_kv``: per-layer tuple of (k, v) with batch dim B — each
+    frame injects its OWN references' K/V (the batched level back-fill
+    shape; batch dim 1 broadcasts one reference set over all frames).
+    ``capture_kv``: also return the batch's terminal-step K/V pytree
+    (split it per frame with ``split_kv_batch``).
     """
     b = images.shape[0]
     assert len(c_texts) == b
@@ -657,16 +664,28 @@ def img2img_inpaint_batch(sd: StableDiffusionBundle, images, c_texts,
         if t_enc > 0 else jnp.zeros((1,), jnp.float32)
     last_gs = float(gates[-1]) if t_enc > 0 else 1.0
 
-    out, _, _, _ = _inpaint_fused(
+    out, _, _, kv = _inpaint_fused(
         sd.unet_params, sd.unet_cfg, sd.vae_params, sd.vae_cfg, sd.sched,
         jnp.asarray(images, sd.dtype), jnp.asarray(reference_imgs, sd.dtype),
-        jnp.asarray(masks, jnp.float32), ctx_c, ctx_u, gates, None, rng,
+        jnp.asarray(masks, jnp.float32), ctx_c, ctx_u, gates,
+        reference_kv, rng,
         mask_blur=mask_blur, t_enc=t_enc, ddim_steps=ddim_steps,
         parameterization=sd.parameterization, cfg_scale=cfg_scale,
-        capture_kv=False, final_composite=last_gs > 0,
+        capture_kv=capture_kv, final_composite=last_gs > 0,
         has_reference=True, tile_noise=True, want_init_decoded=False,
         sampler=sampler, cfg_interval=cfg_interval)
+    if capture_kv:
+        return out, kv
     return out
+
+
+def split_kv_batch(kv_hist, b: int):
+    """Split a captured batch-B kv_hist into B per-frame kv_hist tuples
+    (each layer's k/v sliced to batch 1, the store/injection shape)."""
+    if kv_hist is None:
+        return [None] * b
+    return [tuple((k[i:i + 1], v[i:i + 1]) for k, v in kv_hist)
+            for i in range(b)]
 
 
 # ---------------------------------------------------------------------------

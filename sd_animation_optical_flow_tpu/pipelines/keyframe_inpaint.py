@@ -253,18 +253,25 @@ class FlowCache:
         return os.path.join(self.pair_dir, f"{s:05d}-{t:05d}.npy")
 
     def _load(self, s, t):
-        return np.load(self._path(s, t))
+        # f16 on disk (and on the wire) -> f32 for host math
+        return np.load(self._path(s, t)).astype(np.float32)
 
     def _compute_pairs(self, video: VideoWorkspace, pairs):
         for start in range(0, len(pairs), self.batch_size):
             batch = pairs[start: start + self.batch_size]
             src = np.stack([video.get_raw_frame(s)[..., ::-1] for s, _ in batch])
             tgt = np.stack([video.get_raw_frame(t)[..., ::-1] for _, t in batch])
-            # uint8 stacks upload 4x lighter; the estimator casts on device
-            flow, conf, _ = self.estimator.calc_batch(src, tgt)
+            # uint8 stacks upload 4x lighter; the estimator casts on
+            # device. Downloads ride as f16 (calc_batch_f16): half the
+            # bytes across the O(N^2) pairwise phase.
+            if hasattr(self.estimator, "calc_batch_f16"):
+                flow, conf = self.estimator.calc_batch_f16(src, tgt)
+            else:
+                flow, conf, _ = self.estimator.calc_batch(src, tgt)
             for i, (s, t) in enumerate(batch):
-                entry = np.concatenate([flow[i], conf[i][..., None]],
-                                       axis=-1).astype(np.float32)
+                entry = np.concatenate(
+                    [flow[i], conf[i][..., None]],
+                    axis=-1, dtype=np.float16)
                 np.save(self._path(s, t), entry)
                 self.cached_pair.add((s, t))
 
@@ -433,6 +440,13 @@ class KeyframeInpaintConfig:
     mode: str = "warp_and_inpaint_crossattn"
     flow_batch: int = 16
     use_reference_kv: bool = True
+    # >1: back-fill each level in chunks of this many frames per
+    # compiled program (frames of a level are independent given the
+    # previous level). Level-0 K/V chaining then runs per CHUNK: the
+    # previous chunk's last frame K/V is injected into every frame of
+    # the next chunk (serial mode chains frame-to-frame). 1 = the
+    # reference-faithful serial loop.
+    level_batch: int = 1
     # sequence parallelism for the strip modes: shard the strip's row
     # axis over a mesh (SeqParallelConfig) — None keeps single-device
     # dense attention
@@ -537,6 +551,96 @@ def generate_with_refs(sd_inpaint, tagger, video: VideoWorkspace,
     raise ValueError(f"unknown generation mode {mode!r}")
 
 
+def _backfill_level_batched(sd_inpaint, tagger, video: VideoWorkspace,
+                            cur: FrameIndices, generated: FrameIndices,
+                            flow_cache: FlowCache,
+                            cfg: KeyframeInpaintConfig, level: int,
+                            workspace: str):
+    """Back-fill one level in chunks of ``cfg.level_batch`` frames per
+    compiled program.
+
+    The reference generates the level serially
+    (ofgen_keyframe_inpaint.py:1174-1240), but every frame of a level
+    depends only on the PREVIOUS level's generated frames — the loop is
+    embarrassingly parallel, and batching the independent frames
+    multiplies MXU utilization of the shared denoise scan. Each frame
+    still injects its own references' K/V (per-frame reference_kv batch).
+    Level-0 chaining approximation: serial mode appends the immediately
+    preceding frame's K/V; here the previous chunk's last frame K/V is
+    appended for every frame of the chunk.
+    """
+    crossattn = cfg.mode.endswith("crossattn")
+    want_kv = cfg.use_reference_kv and crossattn
+    vis_dir = os.path.join(workspace, "render_vis", f"u{level:02d}")
+    os.makedirs(vis_dir, exist_ok=True)
+    idxs = list(cur.indices)
+    prev_chunk_last = -1
+    for start in range(0, len(idxs), cfg.level_batch):
+        chunk = idxs[start:start + cfg.level_batch]
+        imgs, ref_imgs, masks, prompts, ref_kvs = [], [], [], [], []
+        originals, mergeds = [], []
+        for idx in chunk:
+            refs = generated.adjacent_frames(idx,
+                                             cfg.num_ref_for_generation)
+            flow_mat = flow_cache.calculate_multiple_to_one(video, refs,
+                                                            idx)
+            original = video.get_raw_frame(idx)
+            merged, covered = greedy_warp_merge(video, refs, flow_mat,
+                                                cfg.mode_thres)
+            mask2 = 255 - covered
+            if crossattn:
+                mask2 = expand_mask(mask2, original)
+            else:
+                mask2 = np.asarray(dilate(jnp.asarray(mask2),
+                                          ellipse_kernel(7))
+                                   ).astype(np.uint8)
+            imgs.append(np.asarray(bgr_u8_to_model(merged)[0]))
+            ref_imgs.append(np.asarray(bgr_u8_to_model(original)[0]))
+            masks.append(mask2.astype(np.float32) / 255.0)
+            prompts.append(_prompt(tagger, original, cfg.prompt_extra))
+            originals.append(original)
+            mergeds.append(merged)
+            if want_kv:
+                kv_list = [video.get_kv(r) for r in refs]
+                if prev_chunk_last != -1 and level == 0:
+                    kv_list.append(video.get_kv(prev_chunk_last))
+                ref_kvs.append(concat_ref_kv(kv_list))
+
+        stacked_kv = None
+        if want_kv and all(r is not None for r in ref_kvs) and ref_kvs:
+            widths = {r[0][0].shape[1] for r in ref_kvs}
+            if len(widths) == 1:       # static-shape batch requirement
+                stacked_kv = tuple(
+                    (jnp.concatenate([r[i][0] for r in ref_kvs], axis=0),
+                     jnp.concatenate([r[i][1] for r in ref_kvs], axis=0))
+                    for i in range(len(ref_kvs[0])))
+
+        out = F.img2img_inpaint_batch(
+            sd_inpaint, np.stack(imgs), prompts, NEGATIVE_PROMPT,
+            np.stack(masks), np.stack(ref_imgs),
+            denoising_strength=cfg.denoising_strength,
+            ddim_steps=cfg.ddim_steps, mask_blur=cfg.mask_blur,
+            guidance_schedule_func=cfg.guidance_schedule_func,
+            seed=cfg.seed, reference_kv=stacked_kv, capture_kv=want_kv)
+        out, kv_batch = out if want_kv else (out, None)
+        kv_frames = F.split_kv_batch(kv_batch, len(chunk)) \
+            if kv_batch is not None else [None] * len(chunk)
+
+        for i, idx in enumerate(chunk):
+            frame = model_to_bgr_u8(out[i:i + 1])
+            video.put_ai_frame(idx, frame)
+            vis = np.concatenate([originals[i], mergeds[i], frame], axis=1)
+            write_png(os.path.join(vis_dir, f"{idx:05d}.png"), vis)
+            if kv_frames[i] is not None and (level > 0 or i == len(chunk) - 1):
+                # at level 0 only the chunk's last K/V seeds the next
+                # chunk (serial mode keeps one frame's K/V on disk)
+                video.put_kv(idx, kv_frames[i])
+        if level == 0:
+            if prev_chunk_last != -1:
+                video.remove_kv(prev_chunk_last)
+            prev_chunk_last = chunk[-1]
+
+
 def generate_seed_frames(sd, tagger, video: VideoWorkspace,
                          seed_indices: FrameIndices,
                          cfg: KeyframeInpaintConfig, control_bundle=None):
@@ -600,6 +704,14 @@ def run(video: VideoWorkspace, sd, sd_inpaint, flow_estimator,
         level -= 1
         cur = history.pop()
         cur.remove(generated)
+        if (cfg.level_batch > 1 and control_bundle is None
+                and cfg.mode in ("warp_and_inpaint",
+                                 "warp_and_inpaint_crossattn")):
+            _backfill_level_batched(sd_inpaint, tagger, video, cur,
+                                    generated, flow_cache, cfg,
+                                    max(level, 0), workspace)
+            generated.add(cur)
+            continue
         last_idx = -1
         for idx in cur.indices:
             refs = generated.adjacent_frames(idx, cfg.num_ref_for_generation)

@@ -153,3 +153,90 @@ def test_keyframe_pipeline_end_to_end(tmp_path, flow_est):
     for i in range(ws.num_frames):
         assert ws.generated(i), f"frame {i} not generated"
         assert ws.get_ai_frame(i).shape == (64, 64, 3)
+
+
+def test_level_batched_backfill_matches_serial(tmp_path, flow_est):
+    """level_batch>1 must reproduce the serial back-fill (same refs,
+    same tiled noise) in warp_and_inpaint mode, where no K/V chaining
+    applies (the crossattn level-0 chain is per-chunk by design)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    sd = _tiny_bundle(k1)
+    sd9 = _tiny_bundle(k2, in_channels=9)
+    frames = _synthetic_frames(5, 64, 64)
+
+    outs = {}
+    for tag, lb in (("serial", 1), ("batched", 4)):
+        ws = KI.VideoWorkspace(str(tmp_path / f"ws_{tag}"),
+                               frames=frames, size=(64, 64), keep_every=1)
+        cfg = KI.KeyframeInpaintConfig(
+            size=(64, 64), keep_every=1, kernel_size=5, stride=5,
+            dilation=1, n_seed_frames=1, num_ref_for_generation=1,
+            denoising_strength=0.3, ddim_steps=6, mode="warp_and_inpaint",
+            level_batch=lb)
+        KI.run(ws, sd, sd9, flow_est, tagger=None, cfg=cfg)
+        outs[tag] = [ws.get_ai_frame(i) for i in range(ws.num_frames)]
+
+    for i, (a, b) in enumerate(zip(outs["serial"], outs["batched"])):
+        assert a is not None and b is not None
+        # identical programs modulo batching; accumulation order in the
+        # batched matmuls allows tiny drift -> 1-LSB uint8 tolerance
+        close = np.mean(np.abs(a.astype(np.int16) - b.astype(np.int16)) <= 1)
+        assert close > 0.99, f"frame {i}: {close}"
+
+
+def test_level_batched_crossattn_completes(tmp_path, flow_est):
+    """crossattn + level_batch: per-frame reference K/V batches through
+    one program; per-chunk level-0 chaining stores/cleans K/V like the
+    serial loop."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+    sd = _tiny_bundle(k1)
+    sd9 = _tiny_bundle(k2, in_channels=9)
+    frames = _synthetic_frames(6, 64, 64)
+    ws = KI.VideoWorkspace(str(tmp_path / "ws_ca"), frames=frames,
+                           size=(64, 64), keep_every=1)
+    cfg = KI.KeyframeInpaintConfig(
+        size=(64, 64), keep_every=1, kernel_size=6, stride=6, dilation=1,
+        n_seed_frames=1, num_ref_for_generation=1,
+        denoising_strength=0.3, ddim_steps=6,
+        mode="warp_and_inpaint_crossattn", level_batch=3)
+    KI.run(ws, sd, sd9, flow_est, tagger=None, cfg=cfg)
+    for i in range(ws.num_frames):
+        assert ws.generated(i), f"frame {i} not generated"
+
+
+def test_batch_per_frame_ref_kv_matches_sequential():
+    """img2img_inpaint_batch with per-frame reference_kv (batch dim B)
+    must match B sequential img2img_inpaint calls each injecting its own
+    frame's K/V."""
+    from sd_animation_optical_flow_tpu.pipelines import facades as F
+    sd = _tiny_bundle(jax.random.PRNGKey(9), in_channels=9)
+    rng = np.random.default_rng(3)
+    B, H, W = 2, 32, 32
+    imgs = rng.uniform(-1, 1, (B, H, W, 3)).astype(np.float32)
+    refs = rng.uniform(-1, 1, (B, H, W, 3)).astype(np.float32)
+    masks = (rng.uniform(size=(B, H, W)) > 0.6).astype(np.float32)
+    prompts = ["a", "b"]
+
+    # capture per-frame KV from a first pass, then inject per-frame
+    _, kv = F.img2img_inpaint_batch(
+        sd, imgs, prompts, "", masks, refs, denoising_strength=0.4,
+        ddim_steps=5, mask_blur=4, capture_kv=True)
+    kv_frames = F.split_kv_batch(kv, B)
+    assert kv[0][0].shape[0] == B and kv_frames[0][0][0].shape[0] == 1
+
+    stacked = tuple(
+        (jnp.concatenate([kv_frames[i][l][0] for i in range(B)], axis=0),
+         jnp.concatenate([kv_frames[i][l][1] for i in range(B)], axis=0))
+        for l in range(len(kv)))
+    out_b = F.img2img_inpaint_batch(
+        sd, imgs, prompts, "", masks, refs, denoising_strength=0.4,
+        ddim_steps=5, mask_blur=4, reference_kv=stacked)
+
+    for i in range(B):
+        out_i, _, _, _ = F.img2img_inpaint(
+            sd, imgs[i:i + 1], prompts[i], "", denoising_strength=0.4,
+            ddim_steps=5, reference_img=refs[i:i + 1], mask=masks[i],
+            mask_blur=4, reference_kv=kv_frames[i],
+            want_init_decoded=False)
+        np.testing.assert_allclose(np.asarray(out_b[i]),
+                                   np.asarray(out_i[0]), atol=2e-2)
