@@ -141,20 +141,50 @@ def warp_frame_latent(latent, flow, *, mode: str = "cubic"):
     return resize(warped, (lh, lw), "cubic")
 
 
-@jax.jit
-def warp_mask_fused(reference_ai_frame, flow, confidence,
-                    *, conf_thres: float = 0.95):
-    """Fused per-frame step: warp the AI keyframe along flow AND build the
-    low-confidence inpaint mask in one device call (replaces the
-    cv2.remap + threshold host sequence, ofgen_pixel_inpaint.py:335-339 +
-    262-264). Dilation is applied separately (ops.filters.dilate).
+@functools.partial(jax.jit,
+                   static_argnames=("conf_thres", "dilate_offsets",
+                                    "dilate_shape"))
+def _warp_mask_impl(reference_ai_frame, flow, confidence, *,
+                    conf_thres, dilate_offsets, dilate_shape):
+    from .filters import _dilate_impl
 
-    Returns (warped_frame, mask01 float32 [H, W]) where mask==1 marks
-    pixels to inpaint (confidence < threshold).
-    """
-    warped = warp_frame(reference_ai_frame, flow)
+    batched = flow.ndim == 4
+    if batched:
+        warped = jax.vmap(lambda fl: warp_frame(reference_ai_frame, fl))(flow)
+    else:
+        warped = warp_frame(reference_ai_frame, flow)
+    warped = jnp.clip(warped, 0.0, 255.0)
     mask = (confidence < conf_thres).astype(jnp.float32)
+    if dilate_offsets is not None:
+        dil = lambda m: _dilate_impl(m, dilate_offsets, dilate_shape)
+        mask = jax.vmap(dil)(mask) if batched else dil(mask)
     return warped, mask
+
+
+def warp_mask_fused(reference_ai_frame, flow, confidence,
+                    dilate_kernel=None, *, conf_thres: float = 0.95):
+    """Fused per-frame step: warp the AI keyframe along flow AND build the
+    low-confidence inpaint mask (optionally dilated) in ONE compiled
+    program, where the reference runs cv2.remap + threshold + cv2.dilate
+    on the host (ofgen_pixel_inpaint.py:335-339 + 262-267).
+
+    The warped frame is clipped to [0, 255] (cubic overshoot) — callers
+    feed uint8-range BGR. Batched inputs (leading frame axis on flow /
+    confidence, shared reference frame) are accepted. ``dilate_kernel``
+    is a host-side boolean structuring element (ops.filters.ellipse_kernel).
+
+    Returns (warped_frame, mask01 float32) where mask==1 marks pixels to
+    inpaint (confidence < threshold).
+    """
+    offsets = shape = None
+    if dilate_kernel is not None:
+        kernel = np.asarray(dilate_kernel)
+        ys, xs = np.nonzero(kernel)
+        offsets = tuple((int(y), int(x)) for y, x in zip(ys, xs))
+        shape = kernel.shape
+    return _warp_mask_impl(reference_ai_frame, flow, confidence,
+                           conf_thres=float(conf_thres),
+                           dilate_offsets=offsets, dilate_shape=shape)
 
 
 def flow_travel_distance(flow, confidence, *, conf_gate: float = 0.9):

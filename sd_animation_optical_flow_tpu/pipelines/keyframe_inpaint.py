@@ -114,10 +114,31 @@ class VideoWorkspace:
     def _ai(self, n):
         return os.path.join(self.workspace_dir, "ai-frames", f"{n:05d}.png")
 
+    @property
+    def _frame_pipe(self):
+        """Native decoded-frame cache (native/frameloader.cpp): raw uint8
+        blobs with an async prefetching reader + write-behind writer, so
+        repeated raw-frame reads (keyframe scan, flow pairs, per-level
+        back-fill) skip PNG decode and ride readahead. PNGs stay the
+        resumable on-disk contract; blobs back-fill lazily on miss."""
+        if not hasattr(self, "_pipe"):
+            from ..native.framepipe import FramePipe
+            self._pipe = FramePipe(
+                os.path.join(self.workspace_dir, "raw-cache"),
+                self.num_frames, self.size_hw + (3,))
+        return self._pipe
+
     def get_raw_frame(self, n):
         import cv2
         assert n < self.num_frames
-        return cv2.imread(self._raw(n))
+        pipe = self._frame_pipe
+        try:
+            return pipe.get(n)
+        except FileNotFoundError:
+            frame = cv2.imread(self._raw(n))
+            if frame is not None and frame.shape == pipe.shape:
+                pipe.put(n, frame)
+            return frame
 
     def get_ai_frame(self, n):
         import cv2

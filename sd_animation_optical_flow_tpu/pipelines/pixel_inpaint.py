@@ -25,7 +25,7 @@ import numpy as np
 
 from ..models.flowconf import FlowConfidenceEstimator
 from ..ops.filters import dilate, ellipse_kernel
-from ..ops.warp import warp_frame
+from ..ops.warp import warp_mask_fused
 from ..utils.images import (bgr_f32_to_u8, bgr_f32d_to_model,
                             bgr_u8_to_model, model_to_bgr_f32d,
                             model_to_bgr_u8, write_png)
@@ -211,11 +211,10 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
             if reference_ai_d is None:
                 reference_ai_d = jnp.asarray(
                     reference_ai_frame).astype(jnp.float32)
-            warped_d = jnp.clip(warp_frame(reference_ai_d, flow_d[0]),
-                                0.0, 255.0)
-            mask01_d = dilate(
-                (conf_d[0] < cfg.confidence_thres).astype(jnp.float32),
-                ellipse_kernel(cfg.mask_dilate))
+            warped_d, mask01_d = warp_mask_fused(
+                reference_ai_d, flow_d[0], conf_d[0],
+                ellipse_kernel(cfg.mask_dilate),
+                conf_thres=cfg.confidence_thres)
 
             prompt = _prompt_for(tagger, frame_bgr, cfg.prompt_extra)
             img_out, _, _, _ = F.img2img_inpaint(
@@ -303,12 +302,9 @@ def _process_batch(batch, flow_pair, out_dir, reference_frame,
 
     # AI keyframe uploads as uint8 once per segment; conversions on-device
     ref_ai_d = jnp.asarray(reference_ai_frame).astype(jnp.float32)
-    warped_d = jnp.clip(
-        jax.vmap(lambda fl: warp_frame(ref_ai_d, fl))(flow_d),
-        0.0, 255.0)                                          # [B,H,W,3] BGR
-    mask01_d = jax.vmap(lambda c: dilate(
-        (c < cfg.confidence_thres).astype(jnp.float32),
-        ellipse_kernel(cfg.mask_dilate)))(conf_d)            # [B,H,W]
+    warped_d, mask01_d = warp_mask_fused(                    # [B,H,W,3] BGR
+        ref_ai_d, flow_d, conf_d, ellipse_kernel(cfg.mask_dilate),
+        conf_thres=cfg.confidence_thres)                     # mask [B,H,W]
 
     prompts = [_prompt_for(tagger, f, cfg.prompt_extra) for f, _ in batch]
     imgs_model = warped_d[..., ::-1] / 127.5 - 1.0
