@@ -76,12 +76,16 @@ def make_frame_step(unet_p, ucfg, vae_p, vcfg):
         x1 = D.stochastic_encode(ddim, lat, T_ENC, noise)
 
         def model_fn(x, t, c, control=None):
-            return U.unet_apply(unet_p, ucfg, x, t, c)[0]
+            pair = c if isinstance(c, tuple) else None
+            return U.unet_apply(unet_p, ucfg, x, t,
+                                None if pair is not None else c,
+                                context_pair=pair)[0]
 
         out = D.ddim_decode(model_fn, sched, ddim, x1,
                             D.CondBundle(crossattn=ctx_c),
                             D.CondBundle(crossattn=ctx_u),
-                            T_ENC, cfg_scale=7.0, rng=rng)
+                            T_ENC, cfg_scale=7.0, rng=rng,
+                            cfg_dedup=True)
         return jnp.clip(V.decode(vae_p, vcfg, out), -1, 1)
 
     jitted = jax.jit(frame_step)
@@ -121,10 +125,10 @@ def make_frame_step_loop(unet_p, ucfg, vae_p, vcfg):
         return D.stochastic_encode(ddim, lat, T_ENC, noise)
 
     @jax.jit
-    def cfg_step(up, x, ts, a_t, a_prev, s1m, ctx2):
-        x_in = jnp.concatenate([x, x], axis=0)
-        t_in = jnp.concatenate([ts, ts], axis=0)
-        out, _ = U.unet_apply(up, ucfg, x_in, t_in, ctx2)
+    def cfg_step(up, x, ts, a_t, a_prev, s1m, ctx_u, ctx_c):
+        # CFG stem dedup: half-batch stem, double at first cross-attn
+        out, _ = U.unet_apply(up, ucfg, x, ts, None,
+                              context_pair=(ctx_u, ctx_c))
         e_u, e_c = jnp.split(out, 2, axis=0)
         e_t = e_u + 7.0 * (e_c - e_u)
         pred_x0 = (x - s1m * e_t) / jnp.sqrt(a_t)
@@ -137,11 +141,10 @@ def make_frame_step_loop(unet_p, ucfg, vae_p, vcfg):
     def frame_step(img, ctx_c, ctx_u, rng):
         b = img.shape[0]
         x = encode(vae_p, img, rng)
-        ctx2 = jnp.concatenate([ctx_u, ctx_c], axis=0)
         for i in range(T_ENC - 1, -1, -1):
             ts = jnp.full((b,), int(h_ts[i]), jnp.int32)
             x = cfg_step(unet_p, x, ts, float(h_a[i]), float(h_ap[i]),
-                         float(h_s1m[i]), ctx2)
+                         float(h_s1m[i]), ctx_u, ctx_c)
         return decode(vae_p, x)
 
     return frame_step

@@ -81,6 +81,22 @@ def prof_unet():
     timed(f"unet step (cfg batch {CFGB})", step, p, t, ctx, x)
 
 
+def prof_unet_dedup():
+    U, p, ucfg = get_unet()
+    hb = CFGB // 2
+    x = jnp.zeros((hb, 64, 96, 4), DT)
+    t = jnp.full((hb,), 500, jnp.int32)
+    ctx_u = jnp.zeros((hb, 231, 768), DT)
+    ctx_c = jnp.ones((hb, 231, 768), DT)
+
+    def step(p, t, cu, cc, x):
+        out, _ = U.unet_apply(p, ucfg, x, t, None, context_pair=(cu, cc))
+        o_u, o_c = jnp.split(out, 2, axis=0)
+        return x + (o_u + 7.0 * (o_c - o_u)) * 0.001
+    timed(f"unet step dedup (cfg batch {CFGB})", step, p, t, ctx_u,
+          ctx_c, x)
+
+
 def prof_unet_parts():
     from sd_animation_optical_flow_tpu.models import unet as U
     from sd_animation_optical_flow_tpu.models.layers import numpy_init
@@ -242,6 +258,8 @@ if __name__ == "__main__":
           f"iters={ITERS} cfgb={CFGB}", flush=True)
     if what in ("unet", "all"):
         prof_unet()
+    if what in ("unet_dedup", "all"):
+        prof_unet_dedup()
     if what in ("unet_parts", "all"):
         prof_unet_parts()
     if what in ("vae", "all"):

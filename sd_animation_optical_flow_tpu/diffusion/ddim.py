@@ -35,10 +35,28 @@ class CondBundle(NamedTuple):
 
 
 def cfg_model_call(model_fn: Callable, x, t, cond: CondBundle,
-                   uncond: CondBundle, scale: float, control=None):
+                   uncond: CondBundle, scale: float, control=None,
+                   dedup: bool = False):
     """Classifier-free guidance with batch doubling ([uncond|cond] order,
     matching guided_ldm.py:41-63). ``control`` is an optional 13-tuple of
-    ControlNet residuals (already CFG-batched) forwarded to the model."""
+    ControlNet residuals (already CFG-batched) forwarded to the model.
+
+    ``dedup``: CFG stem dedup — pass the model the HALF-batch latent and
+    the (ctx_u, ctx_c) pair instead of doubling here; the UNet runs its
+    stem (input conv, first resblock, first self-attention — the halves
+    are bit-identical there) once and doubles the batch at the first
+    cross-attention (models.unet context_pair). Requires a model_fn that
+    understands a tuple ctx, and identical (or absent) concat
+    conditioning across the halves — else falls back to plain doubling.
+    """
+    if dedup and (cond.concat is uncond.concat or cond.concat is None):
+        x_in = x
+        if cond.concat is not None:
+            x_in = jnp.concatenate(
+                [x, cond.concat.astype(x.dtype)], axis=-1)
+        out = model_fn(x_in, t, (uncond.crossattn, cond.crossattn), control)
+        out_u, out_c = jnp.split(out, 2, axis=0)
+        return out_u + scale * (out_c - out_u)
     x_in = jnp.concatenate([x, x], axis=0)
     t_in = jnp.concatenate([t, t], axis=0)
     ctx = jnp.concatenate([uncond.crossattn, cond.crossattn], axis=0)
@@ -110,6 +128,12 @@ def ddim_decode(
                                    #  cached_fn(x,t,ctx,deep)->out), both
                                    # over the CFG-doubled batch
     deepcache_init=None,           # zeros of the deep feature shape
+    cfg_dedup: bool = False,       # CFG stem dedup (exact, not a turbo
+                                   # knob): run the UNet stem once on the
+                                   # half batch and double at the first
+                                   # cross-attention; requires a
+                                   # tuple-ctx-aware model_fn (see
+                                   # cfg_model_call)
 ):
     """Run t_enc guided DDIM steps from x_latent. Returns final x0 latent.
 
@@ -217,7 +241,8 @@ def ddim_decode(
         else:
             new_diff = cfg_diff
             model_out = cfg_model_call(model_fn, x, ts, cond, uncond,
-                                       scale_i, control=control)
+                                       scale_i, control=control,
+                                       dedup=cfg_dedup)
         if parameterization == "v":
             e_t = predict_eps_from_z_and_v(sched, x, ts, model_out)
         else:
@@ -259,7 +284,8 @@ def ddim_decode(
             s_g = ddim.sqrt_one_minus_alphas[idx1].astype(x.dtype)
             g_noised = a_g * guidance_latent.astype(x.dtype) + s_g * g_noise
             g_out = cfg_model_call(model_fn, g_noised, ts, cond, uncond,
-                                   scale_i, control=control)
+                                   scale_i, control=control,
+                                   dedup=cfg_dedup)
             if parameterization == "v":
                 e_g = predict_eps_from_z_and_v(sched, g_noised, ts, g_out)
             else:

@@ -279,20 +279,35 @@ def _geglu_ff(p, x):
 
 
 def _spatial_transformer(p, x, context, n_heads, ref_kv, attn_bias=None,
-                         strip=None, sp=None):
-    """Returns (out, kv_list) — one (k, v) per depth block."""
+                         strip=None, sp=None, cfg_pair=None):
+    """Returns (out, kv_list) — one (k, v) per depth block.
+
+    ``cfg_pair=(ctx_u, ctx_c)``: CFG stem dedup — ``x`` arrives at HALF
+    the CFG batch (the [uncond|cond] halves are bit-identical until the
+    first cross-attention: same latent, same timestep), the self-attention
+    runs once on the half batch, and the batch doubles exactly at the
+    cross-attention where the two contexts first diverge. Returns a
+    full-batch output."""
     b, h, w, c = x.shape
     res = x
     x = group_norm(p["norm"], x, eps=1e-6)
     x = conv2d(p["proj_in"], x)
     x = x.reshape(b, h * w, c)
     kvs = []
+    expand = cfg_pair is not None
     for blk in p["blocks"]:
         a1, kv = _self_attention(blk["attn1"], layer_norm(blk["norm1"], x),
                                  n_heads, ref_kv, bias=attn_bias,
                                  strip=strip, hw=(h, w), sp=sp)
         x = x + a1
         kvs.append(kv)
+        if expand:
+            x = jnp.concatenate([x, x], axis=0)
+            context = jnp.concatenate(
+                [cfg_pair[0], cfg_pair[1]], axis=0).astype(x.dtype)
+            res = jnp.concatenate([res, res], axis=0)
+            b = x.shape[0]
+            expand = False
         x = x + _cross_attention(blk["attn2"], layer_norm(blk["norm2"], x),
                                  context, n_heads)
         x = x + _geglu_ff(blk, layer_norm(blk["norm3"], x))
@@ -379,7 +394,8 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
                attn_biases: Optional[dict] = None,
                y: Optional[jnp.ndarray] = None,
                strip: Optional[StripConfig] = None,
-               sp: Optional[SeqParallelConfig] = None):
+               sp: Optional[SeqParallelConfig] = None,
+               context_pair: Optional[Tuple] = None):
     """Forward pass.
 
     Args:
@@ -399,10 +415,29 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
         bias (reference forward_mfr, attention.py:220-324).
       sp: optional SeqParallelConfig — shard the latent's row axis over
         a mesh; self-attention runs Ulysses sequence-parallel.
+      context_pair: optional (ctx_u, ctx_c) — CFG stem dedup. ``x`` and
+        ``timesteps`` arrive at HALF the CFG batch; the [uncond|cond]
+        halves of classifier-free guidance are bit-identical until the
+        first cross-attention (same latent + timestep under batch
+        doubling, guided_ldm.py:41-63), so the stem — input conv, first
+        resblock, first (and largest) self-attention — runs once, and
+        the batch doubles at the first cross-attention. Output batch is
+        2B ([uncond|cond]); ``context`` is ignored. Exclusive with
+        ref_kv / attn_biases / strip / sp / y (their halves differ).
+        ControlNet residuals stay full-batch: they are consumed from
+        the middle block on, after the (guaranteed) expansion at the
+        middle transformer.
 
     Returns:
       (out [B, H, W, out_channels], kv_hist 16-tuple of (k, v)).
+      Under ``context_pair`` the layer-0 kv entries carry the half
+      batch (the halves are identical there by construction).
     """
+    dedup = context_pair is not None
+    if dedup:
+        assert ref_kv is None and attn_biases is None and strip is None \
+            and sp is None and y is None, \
+            "context_pair (CFG stem dedup) requires plain conditioning"
     nh = cfg.num_heads
     t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=x.dtype)
     emb = linear(params["time_embed"][1],
@@ -411,10 +446,21 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
         assert y is not None, "class-conditional UNet needs y labels"
         emb = emb + params["label_emb"][y].astype(emb.dtype)
 
+    state = {"half": dedup, "emb": emb,
+             "ctx": None if dedup else context}
+
     def tfm(p, h, layer_idx):
+        if state["half"]:
+            h, kvs = _spatial_transformer(p, h, None, nh, None, None,
+                                          cfg_pair=context_pair)
+            state["half"] = False
+            state["emb"] = jnp.concatenate([state["emb"], state["emb"]], 0)
+            state["ctx"] = jnp.concatenate(
+                [context_pair[0], context_pair[1]], axis=0).astype(h.dtype)
+            return h, kvs
         rkv = ref_kv[layer_idx] if ref_kv is not None else None
         bias = attn_biases.get(layer_idx) if attn_biases else None
-        h, kvs = _spatial_transformer(p, h, context, nh, rkv, bias,
+        h, kvs = _spatial_transformer(p, h, state["ctx"], nh, rkv, bias,
                                       strip=strip, sp=sp)
         return h, kvs
 
@@ -435,18 +481,26 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
         elif "down" in blk:
             h = conv2d(blk["down"], h, stride=2, padding=1)
         else:
-            h = _resblock(blk["res"], h, emb)
+            h = _resblock(blk["res"], h, state["emb"])
             if "transformer" in blk:
+                was_half = state["half"]
                 h, kvs = tfm(blk["transformer"], h, layer)
                 kv_hist.extend(kvs)
                 layer += 1
+                if was_half and not state["half"]:
+                    # skips recorded before the expansion double here
+                    hs = [jnp.concatenate([s, s], axis=0) for s in hs]
         hs.append(h)
 
-    h = _resblock(params["middle"]["res1"], h, emb)
+    h = _resblock(params["middle"]["res1"], h, state["emb"])
+    was_half = state["half"]
     h, kvs = tfm(params["middle"]["transformer"], h, layer)
     kv_hist.extend(kvs)
     layer += 1
-    h = _resblock(params["middle"]["res2"], h, emb)
+    if was_half and not state["half"]:
+        hs = [jnp.concatenate([s, s], axis=0) for s in hs]
+    h = _resblock(params["middle"]["res2"], h, state["emb"])
+    emb = state["emb"]
 
     if control is not None:
         h = h + control[-1].astype(h.dtype)   # middle residual is last

@@ -41,14 +41,16 @@ def xla_attention(q, k, v, *, bias=None):
 # training path uses xla_attention which XLA differentiates).
 # ---------------------------------------------------------------------------
 
-# tuned on v5e at SD-1.5 shapes (2x8 heads, 6144 tokens, d=64):
-# 512x1024 runs 2.1x faster than 256x256 (5.3ms vs 11.2ms; the f32
-# score tile is 512*1024*4B = 2MB of VMEM, comfortable with double
-# buffering). 2048x1024 is marginally faster but VMEM-tight at 8MB.
+# tuned on v5e at SD-1.5 shapes (8 heads, 6144 tokens, d=40), CFG batch
+# 16 sweep: 512x1024 17.75ms, 512x2048 16.87, 1024x2048 16.59, 2048x2048
+# 16.20 — but tiles above 4MB f32 scores VMEM-OOM inside the fused
+# denoise scan, so 512x2048 (4MB) is the largest safe default. The
+# kernel sits ~30% over its d=40 MXU-padding ceiling (~12.7ms at b16:
+# K/N pad to 128 caps density at 31%); the rest is exp2 VPU + grid.
 # Overridable per-run for tuning sweeps (SDAOF_BLOCK_Q / SDAOF_BLOCK_K).
 import os as _os
 DEFAULT_BLOCK_Q = int(_os.environ.get("SDAOF_BLOCK_Q", "512"))
-DEFAULT_BLOCK_K = int(_os.environ.get("SDAOF_BLOCK_K", "1024"))
+DEFAULT_BLOCK_K = int(_os.environ.get("SDAOF_BLOCK_K", "2048"))
 
 
 _LOG2E = math.log2(math.e)

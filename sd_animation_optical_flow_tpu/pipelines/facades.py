@@ -139,10 +139,20 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
     x1 = D.stochastic_encode(ddim, init_latent, t_enc, noise)
 
     def model_fn(x, t, ctx, control=None):
-        out, _ = U.unet_apply(unet_params, unet_cfg, x, t, ctx,
+        pair = ctx if isinstance(ctx, tuple) else None
+        out, _ = U.unet_apply(unet_params, unet_cfg, x, t,
+                              None if pair is not None else ctx,
                               ref_kv=ref_kv, control=control, strip=strip,
-                              sp=sp)
+                              sp=sp, context_pair=pair)
         return out
+
+    # CFG stem dedup (exact): the [uncond|cond] halves are identical
+    # until the first cross-attention, so run the stem once on the half
+    # batch. Preconditions: plain DDIM, no injected KV / strip bias /
+    # sequence parallelism (their CFG halves differ).
+    cfg_dedup = (ref_kv is None and strip is None and sp is None
+                 and sampler == "ddim" and cfg_interval == 1
+                 and deepcache_interval == 0)
 
     cond = D.CondBundle(crossattn=ctx_cond, concat=c_concat)
     uncond = D.CondBundle(crossattn=ctx_uncond, concat=c_concat)
@@ -212,7 +222,7 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
                             c_concat),
         control_residuals=control_residuals,
         control_weights=control_weights,
-        tile_noise=tile_noise)
+        tile_noise=tile_noise, cfg_dedup=cfg_dedup)
 
     if final_composite and nmask is not None:
         decoded = init_latent * (1.0 - nmask) + decoded * nmask

@@ -306,3 +306,58 @@ def test_img2img_deepcache_knob(bundles):
     dc2, _ = F.img2img(sd, img, "a b", "", 0.5, ddim_steps=8, seed=3,
                        deepcache_interval=2)
     assert np.isfinite(np.asarray(dc2)).all()
+
+
+def test_cfg_stem_dedup_unet_parity(bundles):
+    """context_pair (CFG stem dedup) must reproduce the doubled-batch
+    forward: the [uncond|cond] halves are bit-identical until the first
+    cross-attention, so running the stem once is exact math, not an
+    approximation."""
+    sd, _ = bundles
+    rng = jax.random.PRNGKey(11)
+    kx, ku, kc = jax.random.split(rng, 3)
+    x = jax.random.normal(kx, (2, 8, 8, 4), jnp.float32)
+    ctx_u = jax.random.normal(ku, (2, 5, 32), jnp.float32)
+    ctx_c = jax.random.normal(kc, (2, 5, 32), jnp.float32)
+    t = jnp.full((2,), 421, jnp.int32)
+
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    ctx2 = jnp.concatenate([ctx_u, ctx_c], axis=0)
+    ref, _ = U.unet_apply(sd.unet_params, sd.unet_cfg, x2, t2, ctx2)
+    out, _ = U.unet_apply(sd.unet_params, sd.unet_cfg, x, t, None,
+                          context_pair=(ctx_u, ctx_c))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cfg_stem_dedup_facade_parity(bundles):
+    """The facade auto-enables dedup; the full decode must match a run
+    with dedup force-disabled (via a knob that falls back: cfg_interval
+    keeps plain doubling... so compare against capture_kv run which also
+    dedups — instead compare img2img against the dpmpp-free explicit
+    doubled path by monkeypatching)."""
+    sd, _ = bundles
+    from sd_animation_optical_flow_tpu.diffusion import ddim as D
+
+    img = jnp.asarray(np.random.RandomState(9).rand(1, 64, 64, 3) * 2 - 1,
+                      jnp.float32)
+    out_dedup, _ = F.img2img(sd, img, "a b", "", 0.5, ddim_steps=6, seed=3)
+
+    orig = D.cfg_model_call
+
+    def no_dedup(*args, **kw):
+        kw["dedup"] = False
+        return orig(*args, **kw)
+
+    try:
+        D.cfg_model_call = no_dedup
+        F._img2img_core.clear_cache()
+        out_plain, _ = F.img2img(sd, img, "a b", "", 0.5, ddim_steps=6,
+                                 seed=3)
+    finally:
+        D.cfg_model_call = orig
+        F._img2img_core.clear_cache()
+    np.testing.assert_allclose(np.asarray(out_dedup), np.asarray(out_plain),
+                               rtol=2e-4, atol=2e-4)
