@@ -25,9 +25,11 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 import jax
+
+# the axon TPU plugin overrides the JAX_PLATFORMS env var; this is the
+# only reliable way to force CPU here (same trick as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 import torch
