@@ -129,6 +129,49 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref,
                     ).astype(o_ref.dtype)
 
 
+def _flash_kernel_tpv(q_ref, k_ref, vt_ref, o_ref, acc_ref,
+                      *, block_k, kv_len, masked, d_out):
+    """Max-free flash attention with a TRANSPOSED PV accumulation.
+
+    The standard PV matmul P[bq, bk] @ V[bk, d] pads its OUTPUT lane dim
+    d (40 at SD head size, 64 after the launcher pad) to the 128-lane
+    MXU width — ~3.2x padded FLOPs. Accumulating the transpose instead,
+    acc^T[d+1, bq] += V^T[d+1, bk] @ P^T[bk, bq], keeps the contraction
+    on the dense bk axis and moves the short d axis to the SUBLANE dim,
+    where it pads only to the 8/16-row granule (41 -> 48): PV drops from
+    ~3.2x to ~1.17x padded cost. The QK matmul keeps its inherent d-dim
+    contraction padding either way, so scores are computed directly as
+    s^T = K @ Q^T. The softmax denominator rides the PV matmul as a ones
+    ROW of V^T (acc^T[d_out]); exp2/max-free semantics identical to
+    ``_flash_kernel``'s untracked branch."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                                 # [bq, d] pre-scaled
+    k = k_ref[0]                                 # [bk, d]
+    vt = vt_ref[0]                               # [d_out + 1, bk] (|ones row)
+
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [bk, bq]
+    if masked:
+        k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, st.shape, dimension=0)
+        st = jnp.where(k_pos < kv_len, st, -1e30)
+    p = jnp.exp2(st.astype(vt.dtype))            # [bk, bq] bf16 exp2
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        vt, p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # [d_out + 1, bq]
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        acc = acc_ref[:]
+        o_ref[0] = (acc[:d_out] / acc[d_out:d_out + 1]
+                    ).astype(o_ref.dtype)
+
+
 def _flash_banded_kernel(q_ref, k_ref, v_ref, qpos_ref, kpos_ref,
                          o_ref, m_ref, l_ref, acc_ref,
                          *, block_q, block_k, kv_len,
@@ -239,6 +282,43 @@ def _flash_keymask_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref,
                     ).astype(o_ref.dtype)
 
 
+def _flash_keymask_kernel_tpv(q_ref, k_ref, vt_ref, o_ref, acc_ref,
+                              *, block_k, kv_len, n_own, n_uncond,
+                              heads, d_out):
+    """Transposed-PV form of :func:`_flash_keymask_kernel` (same CFG
+    KV-injection mask, same max-free softmax; see _flash_kernel_tpv for
+    why the transpose makes PV ~3x denser at SD head dims)."""
+    g = pl.program_id(0)                       # folded batch*heads index
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                                 # [bq, d] pre-scaled
+    k = k_ref[0]                                 # [bk, d]
+    vt = vt_ref[0]                               # [d_out + 1, bk]
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [bk, bq]
+
+    k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, st.shape, dimension=0)
+    is_uncond = (g // heads) < n_uncond
+    st = jnp.where(is_uncond & (k_pos >= n_own), -1e30, st)
+    st = jnp.where(k_pos < kv_len, st, -1e30)
+
+    p = jnp.exp2(st.astype(vt.dtype))
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        vt, p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        acc = acc_ref[:]
+        o_ref[0] = (acc[:d_out] / acc[d_out:d_out + 1]
+                    ).astype(o_ref.dtype)
+
+
 def _pad_to(x, size, axis):
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -306,6 +386,65 @@ def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q,
     )(qf, kf, vf)
 
     out = out[:, :nq, :].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention_tpv(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q,
+                        block_k: int = DEFAULT_BLOCK_K):
+    """Flash attention with the transposed PV accumulation
+    (:func:`_flash_kernel_tpv`): V travels transposed with an appended
+    ones ROW, the kernel writes o^T, and the launcher transposes back.
+    The two host-side relayouts are one pass over K/V and the output
+    (~0.2 ms at SD strip shapes) against a ~2-3x denser PV matmul.
+    Max-free softmax only (SD-bounded logits, see _flash_kernel)."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+
+    block_q = min(block_q, max(nq, 8))
+    block_k = min(block_k, max(nk, 8))
+
+    # fold scale*log2e into q (exp2 softmax in-kernel)
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    # v transposed: [b*h, d, nk]
+    vt = v.transpose(0, 2, 3, 1).reshape(b * h, d, nk)
+
+    nq_p = pl.cdiv(nq, block_q) * block_q
+    nk_p = pl.cdiv(nk, block_k) * block_k
+    qf = _pad_to(qf, nq_p, 1)
+    kf = _pad_to(kf, nk_p, 1)
+    vt = _pad_to(vt, nk_p, 2)
+
+    grid = (b * h, nq_p // block_q, nk_p // block_k)
+
+    # softmax denominator via the MXU: ones ROW appended to v^T so
+    # sum(p) accumulates in acc^T[d] during the PV matmul
+    vt = jnp.concatenate(
+        [vt, jnp.ones((b * h, 1, nk_p), vt.dtype)], axis=1)
+
+    out_t = pl.pallas_call(
+        functools.partial(_flash_kernel_tpv, block_k=block_k,
+                          kv_len=nk, masked=(nk_p != nk), d_out=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, d + 1, block_k), lambda g, i, j: (g, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda g, i, j: (g, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, nq_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((d + 1, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(qf, kf, vt)
+
+    out = out_t[:, :, :nq].reshape(b, h, d, nq).transpose(0, 3, 1, 2)
     return out
 
 
@@ -382,7 +521,8 @@ def flash_attention_keymask(q, k, v, *, n_own: int, n_uncond: int,
                             block_q: int = DEFAULT_BLOCK_Q,
                             block_k: int = DEFAULT_BLOCK_K):
     """Flash attention with the CFG KV-injection key mask (see
-    :func:`_flash_keymask_kernel`). q [B, Nq, H, D]; k/v [B, Nk, H, D]."""
+    :func:`_flash_keymask_kernel_tpv`). q [B, Nq, H, D]; k/v [B, Nk, H, D].
+    Transposed-PV accumulation (same rationale as flash_attention_tpv)."""
     b, nq, h, d = q.shape
     nk = k.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -391,34 +531,34 @@ def flash_attention_keymask(q, k, v, *, n_own: int, n_uncond: int,
     q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vt = v.transpose(0, 2, 3, 1).reshape(b * h, d, nk)
     nq_p = pl.cdiv(nq, block_q) * block_q
     nk_p = pl.cdiv(nk, block_k) * block_k
     qf = _pad_to(qf, nq_p, 1)
     kf = _pad_to(kf, nk_p, 1)
-    vf = _pad_to(vf, nk_p, 1)
+    vt = _pad_to(vt, nk_p, 2)
     grid = (b * h, nq_p // block_q, nk_p // block_k)
-    vf = jnp.concatenate(
-        [vf, jnp.ones((b * h, nk_p, 1), vf.dtype)], axis=-1)
-    out = pl.pallas_call(
-        functools.partial(_flash_keymask_kernel,
+    vt = jnp.concatenate(
+        [vt, jnp.ones((b * h, 1, nk_p), vt.dtype)], axis=1)
+    out_t = pl.pallas_call(
+        functools.partial(_flash_keymask_kernel_tpv,
                           block_k=block_k, kv_len=nk, n_own=n_own,
                           n_uncond=n_uncond, heads=h, d_out=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
-            pl.BlockSpec((1, block_k, d + 1), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, d + 1, block_k), lambda g, i, j: (g, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, d), q.dtype),
+        out_specs=pl.BlockSpec((1, d, block_q), lambda g, i, j: (g, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, nq_p), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d + 1), jnp.float32),
+            pltpu.VMEM((d + 1, block_q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(qf, kf, vf)
-    return out[:, :nq, :].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+    )(qf, kf, vt)
+    return out_t[:, :, :nq].reshape(b, h, d, nq).transpose(0, 3, 1, 2)
 
 
 def attention_injected(q, k, v, *, n_own: int, n_uncond: int,
@@ -426,22 +566,15 @@ def attention_injected(q, k, v, *, n_own: int, n_uncond: int,
     """Attention for the CFG KV-injection path: the first ``n_uncond``
     batch rows only see keys < ``n_own``. Flash path with the analytic
     in-kernel mask on TPU long sequences; XLA with a materialized bias
-    otherwise. Head dims pad to the lane multiple like :func:`attention`."""
+    otherwise."""
     if use_flash is None:
         import os
         on_tpu = jax.default_backend() == "tpu"
         use_flash = (on_tpu and q.shape[1] >= 1536
                      and os.environ.get("SDAOF_FLASH", "1") != "0")
     if use_flash:
-        d = q.shape[-1]
-        dp = -(-d // 64) * 64
-        if dp != d:
-            q = _pad_to(q, dp, 3) * (math.sqrt(dp) / math.sqrt(d))
-            k = _pad_to(k, dp, 3)
-            v = _pad_to(v, dp, 3)
-            out = flash_attention_keymask(q, k, v, n_own=n_own,
-                                          n_uncond=n_uncond)
-            return out[..., :d]
+        # the transposed-PV keymask kernel runs unpadded head dims
+        # (SD's 40) directly — see flash_attention_tpv
         return flash_attention_keymask(q, k, v, n_own=n_own,
                                        n_uncond=n_uncond)
     b, nk = q.shape[0], k.shape[1]
@@ -457,9 +590,10 @@ def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
     """Dispatch: flash kernel on TPU for long unbiased sequences,
     XLA attention otherwise (bias path and tiny shapes).
 
-    Head dims that aren't lane-aligned (SD-1.5 uses 40) are zero-padded
-    to 64 for the kernel — zero feature columns change neither the
-    scores nor the output, only the (unused) padded output columns."""
+    The default transposed-PV kernel runs unpadded head dims (SD-1.5's
+    40) directly; only the SDAOF_SAFE_SOFTMAX tracked-max fallback
+    zero-pads to a 64 lane multiple (zero feature columns change
+    neither the scores nor the output)."""
     if use_flash is None:
         import os
         # default ON for long unbiased sequences on TPU: the XLA path
@@ -480,17 +614,22 @@ def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
                      and k.shape[1] >= 1536
                      and os.environ.get("SDAOF_FLASH", "1") != "0")
     if use_flash and bias is None:
-        d = q.shape[-1]
-        dp = -(-d // 64) * 64
-        if dp != d:
-            # the kernel scales by 1/sqrt(dp); pre-scale q so the
-            # effective scale stays 1/sqrt(d)
-            q = _pad_to(q, dp, 3) * (math.sqrt(dp) / math.sqrt(d))
-            k = _pad_to(k, dp, 3)
-            v = _pad_to(v, dp, 3)
-            out = flash_attention(q, k, v)
-            return out[..., :d]
-        return flash_attention(q, k, v)
+        import os
+        if os.environ.get("SDAOF_SAFE_SOFTMAX", "0") == "1":
+            # tracked-max fallback kernel (needs lane-aligned head dim)
+            d = q.shape[-1]
+            dp = -(-d // 64) * 64
+            if dp != d:
+                # the kernel scales by 1/sqrt(dp); pre-scale q so the
+                # effective scale stays 1/sqrt(d)
+                q = _pad_to(q, dp, 3) * (math.sqrt(dp) / math.sqrt(d))
+                k = _pad_to(k, dp, 3)
+                v = _pad_to(v, dp, 3)
+                return flash_attention(q, k, v)[..., :d]
+            return flash_attention(q, k, v)
+        # default: transposed-PV kernel — runs SD's d=40 heads directly
+        # (no 64-pad; measured 19.6 -> 14.8 ms at 6144 tok, CFG batch 16)
+        return flash_attention_tpv(q, k, v)
     return xla_attention(q, k, v, bias=bias)
 
 
