@@ -43,18 +43,23 @@ def build_params(dtype=jnp.bfloat16):
 
     ucfg = U.UNetConfig()
     vcfg = V.VAEConfig()
-    cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+    from sd_animation_optical_flow_tpu.models.layers import cast_tree
+    cast = lambda t: cast_tree(t, dtype)
     # init fully on host CPU (every op through the TPU tunnel is slow —
     # even PRNG key splits stay on the CPU backend)
     from sd_animation_optical_flow_tpu.models.layers import numpy_init
+    # init straight in the target dtype: a separate f32 stage pushes
+    # the host past its fast-memory window (utils/hostmem.py)
     with jax.default_device(jax.local_devices(backend="cpu")[0]), \
-            numpy_init():
+            numpy_init(dtype):
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         unet_p = cast(U.unet_init(k1, ucfg))
         vae_p = cast(V.vae_init(k2, vcfg))
     dev = jax.devices()[0]
-    return (jax.device_put(unet_p, dev), ucfg,
-            jax.device_put(vae_p, dev), vcfg)
+    from sd_animation_optical_flow_tpu.utils.staging import \
+        device_put_tree_packed
+    return (device_put_tree_packed(unet_p, dev), ucfg,
+            device_put_tree_packed(vae_p, dev), vcfg)
 
 
 def make_frame_step(unet_p, ucfg, vae_p, vcfg):
@@ -218,7 +223,7 @@ def main():
     fn = maker(unet_p, ucfg, vae_p, vcfg)
 
     batches = [int(b) for b in
-               os.environ.get("BENCH_BATCHES", "1,4,8").split(",")] \
+               os.environ.get("BENCH_BATCHES", "1,4,8,16").split(",")] \
         if backend == "tpu" else [1]
     best_fps, best_batch = 0.0, 0
     key = jax.random.PRNGKey(1)

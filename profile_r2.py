@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from sd_animation_optical_flow_tpu.models.layers import cast_tree
+
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -63,9 +65,9 @@ def get_unet():
     from sd_animation_optical_flow_tpu.models import unet as U
     from sd_animation_optical_flow_tpu.models.layers import numpy_init
     ucfg = U.UNetConfig()
-    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
         p = U.unet_init(jax.random.PRNGKey(0), ucfg)
-    p = jax.device_put(jax.tree.map(lambda x: x.astype(DT), p), jax.devices()[0])
+    p = jax.device_put(cast_tree(p, DT), jax.devices()[0])
     return U, p, ucfg
 
 
@@ -110,14 +112,14 @@ def prof_unet_parts():
               ("L1 32x48x640", 32, 48, 640),
               ("L2 16x24x1280", 16, 24, 1280),
               ("L3 8x12x1280", 8, 12, 1280)]
-    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
         res_ps = {ch: U._resblock_init(rng, ch, ch, ted)
                   for _, _, _, ch in levels}
         tfm_ps = {ch: U._spatial_transformer_init(rng, ch, 8, 768, 1)
                   for _, _, _, ch in levels[:3]}
     dev = jax.devices()[0]
     cast = lambda t: jax.device_put(
-        jax.tree.map(lambda x: x.astype(DT), t), dev)
+        cast_tree(t, DT), dev)
     res_ps = cast(res_ps); tfm_ps = cast(tfm_ps)
 
     for name, h, w, ch in levels:
@@ -146,7 +148,7 @@ def prof_unet_parts():
               lambda p, x: swish(group_norm(p, x)), npm, x)
 
     # bare conv3x3 at L0
-    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
         cp = conv2d_init(rng, 320, 320, 3)
     cp = cast(cp)
     x = jnp.zeros((CFGB, 64, 96, 320), DT)
@@ -155,7 +157,7 @@ def prof_unet_parts():
           flops=fl)
 
     # upsample+conv (decoder up block at L1->L0 size)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
         up = conv2d_init(rng, 640, 640, 3)
     up = cast(up)
     x = jnp.zeros((CFGB, 32, 48, 640), DT)
@@ -175,7 +177,7 @@ def prof_unet_parts():
 
     # GEGLU ff at L0
     from sd_animation_optical_flow_tpu.models.layers import linear_init
-    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
         ffp = {"ff_proj": linear_init(rng, 320, 2560),
                "ff_out": linear_init(rng, 1280, 320)}
     ffp = cast(ffp)
@@ -189,9 +191,9 @@ def get_vae():
     from sd_animation_optical_flow_tpu.models import vae as V
     from sd_animation_optical_flow_tpu.models.layers import numpy_init
     vcfg = V.VAEConfig()
-    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
         p = V.vae_init(jax.random.PRNGKey(0), vcfg)
-    p = jax.device_put(jax.tree.map(lambda x: x.astype(DT), p), jax.devices()[0])
+    p = jax.device_put(cast_tree(p, DT), jax.devices()[0])
     return V, p, vcfg
 
 
@@ -218,13 +220,13 @@ def prof_vae_parts():
     B = CFGB // 2
     dev = jax.devices()[0]
     cast = lambda t: jax.device_put(
-        jax.tree.map(lambda x: x.astype(DT), t), dev)
+        cast_tree(t, DT), dev)
     # decoder level shapes: (h, w, ch)
     shapes = [("D-mid 64x96x512", 64, 96, 512),
               ("D-L2 128x192x512", 128, 192, 512),
               ("D-L1 256x384x256", 256, 384, 256),
               ("D-L0 512x768x128", 512, 768, 128)]
-    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
         ps = {ch: V._resblock_init(rng, ch, ch) for _, _, _, ch in shapes}
         att = V._attnblock_init(rng, 512)
     ps = cast(ps); att = cast(att)
@@ -235,7 +237,7 @@ def prof_vae_parts():
               ps[ch], x, flops=fl)
     x = jnp.zeros((B, 64, 96, 512), DT)
     timed("vae attnblock 64x96x512", lambda p, x: V._attnblock(p, x), att, x)
-    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init():
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
         up = conv2d_init(rng, 512, 512, 3)
     up = cast(up)
     x = jnp.zeros((B, 128, 192, 512), DT)

@@ -11,6 +11,15 @@ stays cheap and jax-initialization-free):
   run_pixel_inpaint             — the README main pipeline
 """
 
+# glibc allocator tuning (mallopt): without it every large numpy
+# temporary re-pays this host's pathologically slow private-anon page
+# faults; see utils/hostmem.py. Cheap, idempotent, opt-out via
+# SDAOF_NO_MALLOC_TUNE=1. Deliberately the one eager import here.
+from .utils.hostmem import tune_host_allocator as _tune
+
+_tune()
+del _tune
+
 _LAZY = {
     "create_model": ("sd_animation_optical_flow_tpu.config", "create_model"),
     "load_spec": ("sd_animation_optical_flow_tpu.config", "load_spec"),

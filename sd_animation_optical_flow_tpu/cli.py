@@ -63,7 +63,9 @@ def _build_models(args):
         from .utils.port_weights import load_state_dict, port_raft
         raft_p, _ = port_raft(load_state_dict(args.raft_ckpt))
     else:
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        from .models.layers import numpy_init
+        with jax.default_device(jax.local_devices(backend="cpu")[0]), \
+                numpy_init():
             raft_p = RF.raft_init(jax.random.PRNGKey(0), fcfg.raft)
         print("[cli] no --raft-ckpt: flow estimator runs with random "
               "weights (smoke mode)")
@@ -141,7 +143,7 @@ def cmd_keyframe_inpaint(args):
         num_ref_for_generation=args.num_refs,
         denoising_strength=args.denoising_strength,
         ddim_steps=args.ddim_steps, seed=args.seed, mode=args.mode,
-        prompt_extra=args.prompt_extra)
+        prompt_extra=args.prompt_extra, level_batch=args.level_batch)
     out = KI.run(ws, sd, sd9, flow_est, tagger, cfg)
     print(f"[cli] wrote {out}")
 
@@ -278,6 +280,11 @@ def main(argv=None):
     p3.add_argument("--kernel-size", type=int, default=30)
     p3.add_argument("--stride", type=int, default=15)
     p3.add_argument("--num-refs", type=int, default=1)
+    p3.add_argument("--level-batch", type=int, default=4,
+                    help="frames per compiled program in the level "
+                         "back-fill (frames of one level are independent "
+                         "given the previous level; batching them "
+                         "amortizes the program + host boundary)")
     p3.add_argument("--mode", default="warp_and_inpaint_crossattn",
                     choices=["warp_and_inpaint", "self_attn", "both",
                              "warp_and_inpaint_crossattn"])

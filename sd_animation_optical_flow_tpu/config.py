@@ -66,12 +66,20 @@ class BundleSpec:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             k1, k2, k3 = jax.random.split(rng, 3)
             from .models.layers import numpy_init
+            # init straight in the serving dtype: staging f32 first
+            # pushes multi-model init past the host's fast-memory
+            # window (utils/hostmem.py)
             with jax.default_device(jax.local_devices(backend="cpu")[0]), \
-                    numpy_init():
+                    numpy_init(dtype):
                 unet_p = unet_init(k1, self.unet)
                 vae_p = vae_init(k2, vae_cfg)
                 clip_p = clip_text_init(k3, self.clip)
-        cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+        from .models.layers import cast_tree
+        from .utils.staging import device_put_tree_packed
+        # params must live on the serving device: host leaves passed as
+        # jit arguments are re-transferred on EVERY call (one RTT per
+        # leaf through a remote runtime — see utils/staging.py)
+        cast = lambda t: device_put_tree_packed(cast_tree(t, dtype))
         return StableDiffusionBundle(
             unet_params=cast(unet_p), unet_cfg=self.unet,
             vae_params=cast(vae_p), vae_cfg=vae_cfg,

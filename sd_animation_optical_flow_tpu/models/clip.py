@@ -19,7 +19,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from .layers import layer_norm, linear, linear_init, norm_init
+from .layers import (layer_norm, linear, linear_init, norm_init,
+                     normal_init_array)
 
 BOS_TOKEN = 49406
 EOS_TOKEN = 49407
@@ -45,10 +46,10 @@ def _quick_gelu(x):
 def clip_text_init(rng, cfg: CLIPTextConfig = CLIPTextConfig()):
     rngs = iter(jax.random.split(rng, 8 * cfg.layers + 8))
     p = {
-        "token_embedding": jax.random.normal(
-            next(rngs), (cfg.vocab_size, cfg.width), jnp.float32) * 0.02,
-        "position_embedding": jax.random.normal(
-            next(rngs), (cfg.max_position, cfg.width), jnp.float32) * 0.01,
+        "token_embedding": normal_init_array(
+            next(rngs), (cfg.vocab_size, cfg.width), 0.02),
+        "position_embedding": normal_init_array(
+            next(rngs), (cfg.max_position, cfg.width), 0.01),
         "final_ln": norm_init(cfg.width),
         "layers": [],
     }

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from ..ops.resize import resize
 from .layers import (conv2d, conv2d_init, gelu, layer_norm, linear,
-                     linear_init, nearest_upsample2x, norm_init)
+                     linear_init, nearest_upsample2x, norm_init,
+                     normal_init_array)
 
 
 @dataclass(frozen=True)
@@ -108,8 +109,8 @@ def dpt_init(rng, cfg: DPTConfig = DPTConfig()):
     p = {
         "patch_embed": conv2d_init(next(rngs), 3, cfg.width, cfg.patch),
         "cls_token": jnp.zeros((1, 1, cfg.width), jnp.float32),
-        "pos_embed": jax.random.normal(
-            next(rngs), (1, grid * grid + 1, cfg.width), jnp.float32) * 0.02,
+        "pos_embed": normal_init_array(
+            next(rngs), (1, grid * grid + 1, cfg.width), 0.02),
         "blocks": [_vit_block_init(next(rngs), cfg.width)
                    for _ in range(cfg.layers)],
         "readouts": [_readout_init(next(rngs), cfg.width) for _ in range(4)],

@@ -30,23 +30,69 @@ import contextlib
 
 import numpy as _np
 
+from ..utils.hostmem import shared_empty
+
 # When True, initializers draw from numpy instead of jax.random: zero
 # compiles/dispatches. Random-weight init is not numerics-critical, and
 # in remote-compile environments (axon tunnel) every jax.random call is
 # a separate remote compilation — full-model init goes from minutes to
 # seconds. Seeds derive from the jax key data, so it stays deterministic.
 _NUMPY_INIT = False
+_NUMPY_INIT_DTYPE = None    # target dtype for numpy-mode random params
+_SCRATCH_F32 = None         # reusable f32 staging chunk (warm heap pages)
 
 
 @contextlib.contextmanager
-def numpy_init():
-    global _NUMPY_INIT
-    prev = _NUMPY_INIT
+def numpy_init(dtype=None):
+    """Draw initializers from numpy instead of jax.random.
+
+    With ``dtype`` (e.g. ``jnp.bfloat16``) random params are written
+    straight into buffers of that dtype through a small reusable f32
+    scratch — on hosts where fresh memory is slow past a few GB
+    (utils/hostmem.py), this keeps a multi-model init inside the fast
+    window instead of staging every model in f32 first.
+    """
+    global _NUMPY_INIT, _NUMPY_INIT_DTYPE
+    prev, prev_dt = _NUMPY_INIT, _NUMPY_INIT_DTYPE
     _NUMPY_INIT = True
+    _NUMPY_INIT_DTYPE = _np.dtype(dtype) if dtype is not None else None
     try:
         yield
     finally:
-        _NUMPY_INIT = prev
+        _NUMPY_INIT, _NUMPY_INIT_DTYPE = prev, prev_dt
+
+
+def cast_tree(tree, dtype):
+    """Host-side dtype cast of a param pytree via numpy/ml_dtypes.
+
+    ``jax.tree.map(lambda x: x.astype(bf16), params)`` outside jit
+    dispatches one eager convert_element_type program per leaf — ~300
+    unique shapes x ~0.3s compile each on a loaded host (measured 100s
+    for one SD-1.5 UNet). numpy + ml_dtypes does the same cast as plain
+    memory traffic; ``jax.device_put`` accepts the numpy bf16 arrays
+    directly. Non-float leaves pass through untouched."""
+    np_dtype = _np.dtype(dtype)
+
+    def cast(x):
+        a = _np.asarray(x)
+        if a.dtype.kind == "f" and a.dtype != np_dtype:
+            out = shared_empty(a.shape, np_dtype)
+            _np.copyto(out, a, casting="same_kind")
+            return out
+        return a
+    return jax.tree.map(cast, tree)
+
+
+def _zeros(shape):
+    if _NUMPY_INIT:
+        return _np.zeros(shape, _NUMPY_INIT_DTYPE or _np.float32)
+    return jnp.zeros(shape, jnp.float32)
+
+
+def _ones(shape):
+    if _NUMPY_INIT:
+        return _np.ones(shape, _NUMPY_INIT_DTYPE or _np.float32)
+    return jnp.ones(shape, jnp.float32)
 
 
 def _np_seed(rng) -> int:
@@ -54,13 +100,56 @@ def _np_seed(rng) -> int:
     return int(data[-1]) ^ (int(data[0]) << 1)
 
 
+def normal_init_array(rng, shape, scale: float = 1.0):
+    """N(0, scale^2) param init honoring the ``numpy_init`` context
+    (threefry on a single host core is minutes for embedding tables)."""
+    if _NUMPY_INIT:
+        r = _np.random.default_rng(_np_seed(rng))
+        u = shared_empty(shape, _np.float32)
+        r.standard_normal(out=u.reshape(-1), dtype=_np.float32)
+        if scale != 1.0:
+            _np.multiply(u, scale, out=u)
+        if _NUMPY_INIT_DTYPE is not None and _NUMPY_INIT_DTYPE != _np.float32:
+            out = shared_empty(shape, _NUMPY_INIT_DTYPE)
+            _np.copyto(out, u, casting="same_kind")
+            return out
+        return u
+    return jax.random.normal(rng, shape, jnp.float32) * scale
+
+
 def _kaiming_uniform(rng, shape, fan_in):
     # torch's default Conv/Linear init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
     bound = 1.0 / math.sqrt(max(fan_in, 1))
     if _NUMPY_INIT:
         r = _np.random.default_rng(_np_seed(rng))
-        return jnp.asarray(r.uniform(-bound, bound, shape)
-                           .astype(_np.float32))
+        # f32 generation straight into a shared-anon staging buffer,
+        # scaled in place: the f64-uniform + astype + private-page
+        # faults version took ~110s for one SD-1.5 UNet on this host;
+        # this takes ~3s (see utils/hostmem.py). Returned as numpy —
+        # params are jit arguments, so device conversion happens at the
+        # jit/device_put boundary either way.
+        if _NUMPY_INIT_DTYPE is None or _NUMPY_INIT_DTYPE == _np.float32:
+            u = shared_empty(shape, _np.float32)
+            r.random(out=u.reshape(-1), dtype=_np.float32)
+            _np.multiply(u, 2.0 * bound, out=u)
+            _np.subtract(u, bound, out=u)
+            return u
+        # low-precision target: stream through a reusable f32 scratch so
+        # only the final (half-size) buffer touches fresh pages
+        global _SCRATCH_F32
+        if _SCRATCH_F32 is None:
+            _SCRATCH_F32 = _np.empty(1 << 24, _np.float32)   # 64 MB
+        out = shared_empty(shape, _NUMPY_INIT_DTYPE)
+        flat = out.reshape(-1)
+        n = flat.shape[0]
+        for lo in range(0, n, _SCRATCH_F32.shape[0]):
+            hi = min(lo + _SCRATCH_F32.shape[0], n)
+            tmp = _SCRATCH_F32[:hi - lo]
+            r.random(out=tmp, dtype=_np.float32)
+            _np.multiply(tmp, 2.0 * bound, out=tmp)
+            _np.subtract(tmp, bound, out=tmp)
+            _np.copyto(flat[lo:hi], tmp, casting="same_kind")
+        return out
     return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
 
 
@@ -71,11 +160,11 @@ def _kaiming_uniform(rng, shape, fan_in):
 def linear_init(rng, in_dim: int, out_dim: int, *, zero: bool = False,
                 bias: bool = True):
     kw, kb = jax.random.split(rng)
-    w = (jnp.zeros((in_dim, out_dim), jnp.float32) if zero
+    w = (_zeros((in_dim, out_dim)) if zero
          else _kaiming_uniform(kw, (in_dim, out_dim), in_dim))
     p = {"w": w}
     if bias:
-        p["b"] = (jnp.zeros((out_dim,), jnp.float32) if zero
+        p["b"] = (_zeros((out_dim,)) if zero
                   else _kaiming_uniform(kb, (out_dim,), in_dim))
     return p
 
@@ -98,11 +187,11 @@ def conv2d_init(rng, in_ch: int, out_ch: int, kernel: int | Sequence[int],
     kh, kw_ = kernel
     fan_in = in_ch * kh * kw_
     kw, kb = jax.random.split(rng)
-    w = (jnp.zeros((kh, kw_, in_ch, out_ch), jnp.float32) if zero
+    w = (_zeros((kh, kw_, in_ch, out_ch)) if zero
          else _kaiming_uniform(kw, (kh, kw_, in_ch, out_ch), fan_in))
     p = {"w": w}
     if bias:
-        p["b"] = (jnp.zeros((out_ch,), jnp.float32) if zero
+        p["b"] = (_zeros((out_ch,)) if zero
                   else _kaiming_uniform(kb, (out_ch,), fan_in))
     return p
 
@@ -129,8 +218,7 @@ def conv2d(p, x, *, stride: int = 1, padding="SAME", dilation: int = 1):
 # ---------------------------------------------------------------------------
 
 def norm_init(dim: int):
-    return {"scale": jnp.ones((dim,), jnp.float32),
-            "bias": jnp.zeros((dim,), jnp.float32)}
+    return {"scale": _ones((dim,)), "bias": _zeros((dim,))}
 
 
 def group_norm(p, x, *, num_groups: int = 32, eps: float = 1e-5):

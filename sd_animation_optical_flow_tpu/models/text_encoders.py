@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import gelu, layer_norm, linear, linear_init, norm_init
+from .layers import (gelu, layer_norm, linear, linear_init, norm_init,
+                     normal_init_array)
 
 
 # ---------------------------------------------------------------------------
@@ -41,10 +42,10 @@ class OpenCLIPTextConfig:
 def openclip_text_init(rng, cfg: OpenCLIPTextConfig = OpenCLIPTextConfig()):
     rngs = iter(jax.random.split(rng, 8 * cfg.layers + 8))
     p = {
-        "token_embedding": jax.random.normal(
-            next(rngs), (cfg.vocab_size, cfg.width), jnp.float32) * 0.02,
-        "position_embedding": jax.random.normal(
-            next(rngs), (cfg.max_position, cfg.width), jnp.float32) * 0.01,
+        "token_embedding": normal_init_array(
+            next(rngs), (cfg.vocab_size, cfg.width), 0.02),
+        "position_embedding": normal_init_array(
+            next(rngs), (cfg.max_position, cfg.width), 0.01),
         "ln_final": norm_init(cfg.width),
         "layers": [],
     }
@@ -144,10 +145,10 @@ def t5_encoder_init(rng, cfg: T5Config = T5Config()):
     rngs = iter(jax.random.split(rng, 8 * cfg.layers + 8))
     inner = cfg.heads * cfg.d_kv
     p = {
-        "token_embedding": jax.random.normal(
-            next(rngs), (cfg.vocab_size, cfg.d_model), jnp.float32),
-        "rel_bias": jax.random.normal(
-            next(rngs), (cfg.rel_buckets, cfg.heads), jnp.float32) * 0.02,
+        "token_embedding": normal_init_array(
+            next(rngs), (cfg.vocab_size, cfg.d_model)),
+        "rel_bias": normal_init_array(
+            next(rngs), (cfg.rel_buckets, cfg.heads), 0.02),
         "final_norm": jnp.ones((cfg.d_model,), jnp.float32),
         "layers": [],
     }

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from ..ops.attention import attention
 from .layers import (conv2d, conv2d_init, group_norm, layer_norm, linear,
                      linear_init, norm_init, swish,
-                     timestep_embedding, upsample2x_conv)
+                     timestep_embedding, upsample2x_conv,
+                     normal_init_array)
 
 # SD-1.5 has 16 spatial transformers: 6 encoder, 1 middle, 9 decoder.
 NUM_KV_LAYERS = 16
@@ -330,8 +331,7 @@ def unet_init(rng, cfg: UNetConfig = UNetConfig()):
     }
     if cfg.num_classes is not None:
         # torch nn.Embedding default N(0,1) (openaimodel UNetModel)
-        p["label_emb"] = jax.random.normal(
-            next(rngs), (cfg.num_classes, ted), jnp.float32)
+        p["label_emb"] = normal_init_array(next(rngs), (cfg.num_classes, ted))
 
     input_blocks: list = [{"conv": conv2d_init(next(rngs), cfg.in_channels, mc, 3)}]
     ch = mc

@@ -171,8 +171,11 @@ class VideoWorkspace:
             return None
         data = np.load(self._kv(n))
         layers = len(data.files) // 2
-        return tuple((jnp.asarray(data[f"k{i}"], jnp.float32),
-                      jnp.asarray(data[f"v{i}"], jnp.float32))
+        # bf16 on device: the UNet attends in bf16 anyway, and f32 ref
+        # K/V doubled the injected-KV HBM footprint (the 4-frame batched
+        # back-fill program OOM'd at 24.75G/15.75G on v5e with f32 KV)
+        return tuple((jnp.asarray(data[f"k{i}"], jnp.bfloat16),
+                      jnp.asarray(data[f"v{i}"], jnp.bfloat16))
                      for i in range(layers))
 
     def remove_kv(self, n):
@@ -255,7 +258,7 @@ class FlowCache:
     Entry layout per (s, t): [H, W, 3] = (flow_x, flow_y, confidence) in the
     target frame t's coordinates."""
 
-    def __init__(self, estimator, workspace_dir: str, batch_size: int = 16):
+    def __init__(self, estimator, workspace_dir: str, batch_size: int = 8):
         self.estimator = estimator
         self.batch_size = batch_size
         self.pair_dir = os.path.join(workspace_dir, "flow")
@@ -278,17 +281,29 @@ class FlowCache:
         return np.load(self._path(s, t)).astype(np.float32)
 
     def _compute_pairs(self, video: VideoWorkspace, pairs):
-        for start in range(0, len(pairs), self.batch_size):
+        start = 0
+        while start < len(pairs):
             batch = pairs[start: start + self.batch_size]
             src = np.stack([video.get_raw_frame(s)[..., ::-1] for s, _ in batch])
             tgt = np.stack([video.get_raw_frame(t)[..., ::-1] for _, t in batch])
             # uint8 stacks upload 4x lighter; the estimator casts on
             # device. Downloads ride as f16 (calc_batch_f16): half the
             # bytes across the O(N^2) pairwise phase.
-            if hasattr(self.estimator, "calc_batch_f16"):
-                flow, conf = self.estimator.calc_batch_f16(src, tgt)
-            else:
-                flow, conf, _ = self.estimator.calc_batch(src, tgt)
+            try:
+                if hasattr(self.estimator, "calc_batch_f16"):
+                    flow, conf = self.estimator.calc_batch_f16(src, tgt)
+                else:
+                    flow, conf, _ = self.estimator.calc_batch(src, tgt)
+            except Exception:
+                # batched RAFT is HBM-hungry (the all-pairs correlation
+                # volume is ~0.4GB/pair at 512x768, and one program runs
+                # fwd+bwd = 2B images): on compile OOM halve the batch
+                # and retry — 8 pairs fit one v5e, 12 do not
+                if len(batch) == 1:
+                    raise
+                self.batch_size = max(1, len(batch) // 2)
+                continue
+            start += len(batch)
             for i, (s, t) in enumerate(batch):
                 entry = np.concatenate(
                     [flow[i], conf[i][..., None]],
@@ -596,8 +611,18 @@ def _backfill_level_batched(sd_inpaint, tagger, video: VideoWorkspace,
     os.makedirs(vis_dir, exist_ok=True)
     idxs = list(cur.indices)
     prev_chunk_last = -1
-    for start in range(0, len(idxs), cfg.level_batch):
-        chunk = idxs[start:start + cfg.level_batch]
+    eff_batch = cfg.level_batch
+    if want_kv:
+        # per-frame injected ref K/V makes the batched program HBM-heavy:
+        # a 4-frame 512x768 chunk compiled to 24.75G vs 15.75G available
+        # on one v5e. Cap the chunk so that KV-injecting chunks stay
+        # ~2 frames at 512x768, scaling with pixel area (tiny test
+        # configs stay unaffected).
+        area = cfg.size[0] * cfg.size[1]
+        eff_batch = max(1, min(eff_batch,
+                               int(2 * (512 * 768) / max(area, 1))))
+    for start in range(0, len(idxs), eff_batch):
+        chunk = idxs[start:start + eff_batch]
         imgs, ref_imgs, masks, prompts, ref_kvs = [], [], [], [], []
         originals, mergeds = [], []
         for idx in chunk:

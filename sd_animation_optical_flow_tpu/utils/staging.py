@@ -1,0 +1,76 @@
+"""Packed host→device staging for parameter pytrees.
+
+``jax.device_put(tree)`` issues one transfer per leaf; through a
+remote-runtime link (axon tunnel) each transfer pays a round trip, so a
+~700-leaf SD UNet upload costs minutes of RTT instead of seconds of
+bandwidth (measured ~370s for a 5-model bundle vs ~45s packed).
+
+``device_put_tree_packed`` concatenates all leaves of one dtype into a
+single flat host buffer, ships each dtype group as ONE transfer, and
+splits it back into leaves on device with one jitted slicing program
+(compiled once per tree structure, persisted in the compile cache).
+
+Reference counterpart: none — the reference's torch ``model.cuda()``
+moves storages over PCIe where per-tensor latency is negligible. On a
+remote TPU runtime the packing is what makes model load time sane.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hostmem import shared_empty
+
+
+@functools.lru_cache(maxsize=64)
+def _unpack_fn(metas: tuple):
+    """metas: tuple of (nelem, shape) per leaf of one dtype group."""
+
+    def unpack(flat):
+        outs = []
+        off = 0
+        for nelem, shape in metas:
+            outs.append(jax.lax.dynamic_slice(
+                flat, (off,), (nelem,)).reshape(shape))
+            off += nelem
+        return outs
+    # donate the flat buffer: the split can run in place and the packed
+    # copy doesn't linger in HBM next to the unpacked leaves
+    return jax.jit(unpack, donate_argnums=0)
+
+
+def device_put_tree_packed(tree, device=None):
+    """Place a pytree of host arrays on ``device`` with one transfer
+    per dtype instead of one per leaf. Returns the same pytree with
+    device-resident leaves."""
+    leaves, treedef = jax.tree.flatten(tree)
+    if device is None:
+        device = jax.devices()[0]
+    host = [np.asarray(x) for x in leaves]
+    groups: dict = {}
+    for i, a in enumerate(host):
+        groups.setdefault(a.dtype, []).append(i)
+    out: list = [None] * len(host)
+    for dt, idxs in groups.items():
+        total = sum(host[i].size for i in idxs)
+        if total == 0 or len(idxs) == 1:
+            for i in idxs:
+                out[i] = jax.device_put(host[i], device)
+            continue
+        flat = shared_empty((total,), dt)
+        off = 0
+        metas = []
+        for i in idxs:
+            a = host[i]
+            flat[off:off + a.size] = a.reshape(-1)
+            metas.append((int(a.size), tuple(a.shape)))
+            off += a.size
+        dflat = jax.device_put(flat, device)
+        unpacked = _unpack_fn(tuple(metas))(dflat)
+        for i, arr in zip(idxs, unpacked):
+            out[i] = arr
+    return jax.tree.unflatten(treedef, out)

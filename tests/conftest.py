@@ -55,6 +55,8 @@ _SLOW_TESTS = {
     "test_unet_strip_matches_materialized_biases",
     "test_strip_generation_modes_use_mfr",
     "test_strip_sp_denoise_matches_single",
+    "test_level_batched_backfill_matches_serial",
+    "test_level_batched_crossattn_completes",
 }
 
 
