@@ -55,11 +55,11 @@ tok = PromptTokenizer(hf_name_or_path=None)
 sd = F.StableDiffusionBundle(
     unet_params=cast_put(unet_p), unet_cfg=ucfg,
     vae_params=cast_put(vae_p), vae_cfg=vcfg,
-    clip_params=cast_put(clip_p), clip_cfg=ccfg, tokenizer=tok)
+    clip_params=cast_put(clip_p), clip_cfg=ccfg, tokenizer=tok, dtype=DT)
 sd9 = F.StableDiffusionBundle(
     unet_params=cast_put(unet9_p), unet_cfg=ucfg9,
     vae_params=sd.vae_params, vae_cfg=vcfg,
-    clip_params=sd.clip_params, clip_cfg=ccfg, tokenizer=tok)
+    clip_params=sd.clip_params, clip_cfg=ccfg, tokenizer=tok, dtype=DT)
 flow = FC.FlowConfidenceEstimator(cast_put(raft_p), fcfg)
 print(f"# init {time.time()-t0:.1f}s", flush=True)
 

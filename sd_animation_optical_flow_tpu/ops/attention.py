@@ -615,6 +615,16 @@ def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
                      and os.environ.get("SDAOF_FLASH", "1") != "0")
     if use_flash and bias is None:
         import os
+        d = q.shape[-1]
+        if d > 128 and os.environ.get("SDAOF_SAFE_SOFTMAX", "0") != "1":
+            # wide heads (VAE mid attention: one head, d=512): the
+            # transposed-PV kernel keeps a [d+1, Nq] f32 accumulator
+            # resident per batch row — 25MB at 12288 strip tokens,
+            # over the 16MB scoped-vmem limit. The tracked-max kernel's
+            # per-block [block_q, d] accumulator is what scales here,
+            # and d is already lane-aligned so tpv's unpadded-d win is
+            # moot.
+            return flash_attention(q, k, v)
         if os.environ.get("SDAOF_SAFE_SOFTMAX", "0") == "1":
             # tracked-max fallback kernel (needs lane-aligned head dim)
             d = q.shape[-1]

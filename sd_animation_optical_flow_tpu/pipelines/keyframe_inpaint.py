@@ -302,6 +302,15 @@ class FlowCache:
                 if len(batch) == 1:
                     raise
                 self.batch_size = max(1, len(batch) // 2)
+                # settle the backend before retrying: a failed async
+                # execution can hold HBM until its buffers are dropped
+                import gc
+                gc.collect()
+                try:
+                    import jax
+                    jax.block_until_ready(jnp.zeros(()))
+                except Exception:
+                    pass
                 continue
             start += len(batch)
             for i, (s, t) in enumerate(batch):
@@ -474,7 +483,12 @@ class KeyframeInpaintConfig:
     seed: int = 1234
     prompt_extra: str = ""
     mode: str = "warp_and_inpaint_crossattn"
-    flow_batch: int = 16
+    # pairs per compiled flow program. The reference batches 16
+    # (ofgen_keyframe_inpaint.py:1128); on one v5e the batched fwd+bwd
+    # RAFT costs ~1.6G HBM/pair and shares the chip with ~4G of resident
+    # SD params, so 4 is the largest reliably-fitting chunk (FlowCache
+    # additionally halves adaptively on compile OOM)
+    flow_batch: int = 4
     use_reference_kv: bool = True
     # >1: back-fill each level in chunks of this many frames per
     # compiled program (frames of a level are independent given the
