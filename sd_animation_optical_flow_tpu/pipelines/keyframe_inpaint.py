@@ -666,35 +666,57 @@ def _backfill_level_batched(sd_inpaint, tagger, video: VideoWorkspace,
                     kv_list.append(video.get_kv(prev_chunk_last))
                 ref_kvs.append(concat_ref_kv(kv_list))
 
-        stacked_kv = None
-        if want_kv and all(r is not None for r in ref_kvs) and ref_kvs:
-            widths = {r[0][0].shape[1] for r in ref_kvs}
-            if len(widths) == 1:       # static-shape batch requirement
+        # One compiled program shape per (batch, kv width): group the
+        # chunk's frames by injected-KV token width (they differ only at
+        # level transitions / the level-0 chain boundary) and PAD each
+        # group to eff_batch by repeating its last frame — noise is
+        # drawn once and tiled, so padded slots cannot perturb real
+        # outputs, and every level reuses the same compiled program
+        # instead of compiling one per remainder size (each fresh
+        # compile is minutes through a remote runtime).
+        groups: dict = {}
+        for pos in range(len(chunk)):
+            wk = (None if not want_kv or ref_kvs[pos] is None
+                  else ref_kvs[pos][0][0].shape[1])
+            groups.setdefault(wk, []).append(pos)
+
+        for wk, poss in groups.items():
+            reps = poss + [poss[-1]] * (eff_batch - len(poss))
+            stacked_kv = None
+            if wk is not None:
                 stacked_kv = tuple(
-                    (jnp.concatenate([r[i][0] for r in ref_kvs], axis=0),
-                     jnp.concatenate([r[i][1] for r in ref_kvs], axis=0))
-                    for i in range(len(ref_kvs[0])))
+                    (jnp.concatenate([ref_kvs[p][i][0] for p in reps],
+                                     axis=0),
+                     jnp.concatenate([ref_kvs[p][i][1] for p in reps],
+                                     axis=0))
+                    for i in range(len(ref_kvs[poss[0]])))
+            out = F.img2img_inpaint_batch(
+                sd_inpaint, np.stack([imgs[p] for p in reps]),
+                [prompts[p] for p in reps], NEGATIVE_PROMPT,
+                np.stack([masks[p] for p in reps]),
+                np.stack([ref_imgs[p] for p in reps]),
+                denoising_strength=cfg.denoising_strength,
+                ddim_steps=cfg.ddim_steps, mask_blur=cfg.mask_blur,
+                guidance_schedule_func=cfg.guidance_schedule_func,
+                seed=cfg.seed, reference_kv=stacked_kv,
+                capture_kv=want_kv)
+            out, kv_batch = out if want_kv else (out, None)
+            kv_frames = F.split_kv_batch(kv_batch, len(reps)) \
+                if kv_batch is not None else [None] * len(reps)
 
-        out = F.img2img_inpaint_batch(
-            sd_inpaint, np.stack(imgs), prompts, NEGATIVE_PROMPT,
-            np.stack(masks), np.stack(ref_imgs),
-            denoising_strength=cfg.denoising_strength,
-            ddim_steps=cfg.ddim_steps, mask_blur=cfg.mask_blur,
-            guidance_schedule_func=cfg.guidance_schedule_func,
-            seed=cfg.seed, reference_kv=stacked_kv, capture_kv=want_kv)
-        out, kv_batch = out if want_kv else (out, None)
-        kv_frames = F.split_kv_batch(kv_batch, len(chunk)) \
-            if kv_batch is not None else [None] * len(chunk)
-
-        for i, idx in enumerate(chunk):
-            frame = model_to_bgr_u8(out[i:i + 1])
-            video.put_ai_frame(idx, frame)
-            vis = np.concatenate([originals[i], mergeds[i], frame], axis=1)
-            write_png(os.path.join(vis_dir, f"{idx:05d}.png"), vis)
-            if kv_frames[i] is not None and (level > 0 or i == len(chunk) - 1):
-                # at level 0 only the chunk's last K/V seeds the next
-                # chunk (serial mode keeps one frame's K/V on disk)
-                video.put_kv(idx, kv_frames[i])
+            for j, pos in enumerate(poss):
+                idx = chunk[pos]
+                frame = model_to_bgr_u8(out[j:j + 1])
+                video.put_ai_frame(idx, frame)
+                vis = np.concatenate([originals[pos], mergeds[pos], frame],
+                                     axis=1)
+                write_png(os.path.join(vis_dir, f"{idx:05d}.png"), vis)
+                if kv_frames[j] is not None and (
+                        level > 0 or pos == len(chunk) - 1):
+                    # at level 0 only the chunk's last K/V seeds the
+                    # next chunk (serial mode keeps one frame's K/V on
+                    # disk)
+                    video.put_kv(idx, kv_frames[j])
         if level == 0:
             if prev_chunk_last != -1:
                 video.remove_kv(prev_chunk_last)
