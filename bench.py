@@ -236,12 +236,17 @@ def main():
             out.block_until_ready()
             print(f"# batch {batch}: compile+run "
                   f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-            reps = 3 if backend == "tpu" else 1
-            t0 = time.perf_counter()
-            for r in range(reps):
-                out = fn(img, ctx, ctx, jax.random.fold_in(key, r))
-            out.block_until_ready()
-            dt = (time.perf_counter() - t0) / reps
+            # The tunnel TPU is SHARED: co-tenant load has been measured
+            # to inflate a call up to ~5x for a minute at a time. Take
+            # the best of several short trials — the minimum estimates
+            # the uncontended per-call time.
+            trials = 3 if backend == "tpu" else 1
+            dt = float("inf")
+            for trial in range(trials):
+                t0 = time.perf_counter()
+                out = fn(img, ctx, ctx, jax.random.fold_in(key, trial))
+                out.block_until_ready()
+                dt = min(dt, time.perf_counter() - t0)
             fps = batch / dt
             print(f"# batch {batch}: {dt:.3f}s/call = {fps:.3f} fps",
                   file=sys.stderr)
