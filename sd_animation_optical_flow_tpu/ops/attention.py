@@ -37,8 +37,11 @@ def xla_attention(q, k, v, *, bias=None):
 
 
 # ---------------------------------------------------------------------------
-# Pallas flash attention (forward only — this framework is inference-first;
-# training path uses xla_attention which XLA differentiates).
+# Pallas flash attention. The specialized inference kernels (banded,
+# keymask, MFR) are forward-only; the default routed path is
+# differentiable via flash_attention_diff's custom VJP (backward kernels
+# further below), so training and guidance-through-attention keep O(N)
+# memory at strip lengths.
 # ---------------------------------------------------------------------------
 
 # tuned on v5e at SD-1.5 shapes (8 heads, 6144 tokens, d=40), CFG batch
@@ -561,6 +564,309 @@ def flash_attention_keymask(q, k, v, *, n_own: int, n_uncond: int,
     return out_t[:, :, :nq].reshape(b, h, d, nq).transpose(0, 3, 1, 2)
 
 
+# ---------------------------------------------------------------------------
+# Differentiable flash attention (custom VJP).
+#
+# The inference kernels above are forward-only; under jax.grad they would
+# fail (pallas_call has no auto-derived transpose). Training and
+# guidance-through-attention at strip lengths need O(N) memory in the
+# BACKWARD too — XLA's attention VJP materializes the [B, H, N, N] score
+# matrix twice (fwd residual + bwd), ~9GB at 6k tokens / CFG batch 8.
+# ``flash_attention_diff`` keeps the tpv forward and adds two Pallas
+# backward kernels that recompute score tiles on the fly (the standard
+# flash-attention backward), with the max-free exp2 softmax semantics of
+# the forward (SD-bounded logits). Everything stays in the TRANSPOSED
+# layout: scores live as s^T [bk, bq], so the per-row softmax denominator
+# ``l`` and the D-vector (rowsum(dO*O)) ride as lane-aligned [1, bq] ROWS
+# instead of awkward sublane columns.
+#
+# Backward matmul census per (k, q) tile pair: s^T = K Q^T (d-contraction,
+# inherently padded like the forward), dP^T = V dO^T (d-contraction),
+# dV += P dO and dK += dS Q and dQ^T += K^T dS (all DENSE bq/bk
+# contractions). Gradient matmuls accumulate in f32 for training accuracy
+# (the inference forward rounds P to bf16; the backward does not).
+# ---------------------------------------------------------------------------
+
+_LN2 = math.log(2.0)
+
+
+def _interpret():
+    # Pallas interpret mode off-TPU: the diff path stays testable on the
+    # CPU backend (tests/conftest forces jax_platforms=cpu)
+    return jax.default_backend() != "tpu"
+
+
+def _flash_kernel_tpv_stats(q_ref, k_ref, vt_ref, o_ref, l_ref, acc_ref,
+                            *, block_k, kv_len, masked, d_out):
+    """Forward with stats: :func:`_flash_kernel_tpv` that ALSO writes the
+    softmax denominator row l [1, bq] (residual for the backward)."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    vt = vt_ref[0]
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if masked:
+        k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, st.shape, dimension=0)
+        st = jnp.where(k_pos < kv_len, st, -1e30)
+    p = jnp.exp2(st.astype(vt.dtype))
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        vt, p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        acc = acc_ref[:]
+        o_ref[0] = (acc[:d_out] / acc[d_out:d_out + 1]).astype(o_ref.dtype)
+        l_ref[0] = acc[d_out:d_out + 1]
+
+
+def _flash_bwd_dkv_kernel(k_ref, v_ref, q_ref, do_ref, l_ref, dvec_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc,
+                          *, d):
+    """dK/dV for one K block, accumulated over Q blocks (grid axis 2).
+    q arrives pre-scaled by scale*log2e (the forward's convention), so
+    dK = (dS~ @ q_scaled) * ln2 recovers the natural-log gradient."""
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0]                                  # [bk, d]
+    v = v_ref[0]                                  # [bk, d]
+    qs = q_ref[0]                                 # [bq, d] pre-scaled
+    do = do_ref[0]                                # [bq, d]
+    l_row = l_ref[0]                              # [1, bq] f32
+    d_row = dvec_ref[0]                           # [1, bq] f32
+
+    st = jax.lax.dot_general(k, qs, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [bk, bq]
+    p = jnp.exp2(st) / l_row                      # normalized P^T, f32
+    # dV += P^T @ dO  (dense bq contraction)
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p, do.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dP^T = V @ dO^T  (d contraction)
+    dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [bk, bq]
+    ds = p * (dpt - d_row)                        # dS_nat^T [bk, bq]
+    # dK += ln2 * dS^T @ q_scaled (== scale * dS^T @ q)
+    dk_acc[:] = dk_acc[:] + _LN2 * jax.lax.dot_general(
+        ds, qs.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, dvec_ref,
+                         dqt_ref, dq_acc, *, block_k, kv_len, masked,
+                         scale):
+    """dQ^T for one Q block, accumulated over K blocks (grid axis 2).
+    Padded K positions must be masked here: _pad_to zero-fills K, and
+    exp2(0) = 1 would otherwise contribute -P*D to dQ."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    qs = q_ref[0]                                 # [bq, d] pre-scaled
+    k = k_ref[0]                                  # [bk, d]
+    v = v_ref[0]                                  # [bk, d]
+    do = do_ref[0]                                # [bq, d]
+    l_row = l_ref[0]                              # [1, bq]
+    d_row = dvec_ref[0]                           # [1, bq]
+
+    st = jax.lax.dot_general(k, qs, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [bk, bq]
+    if masked:
+        k_pos = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, st.shape, dimension=0)
+        st = jnp.where(k_pos < kv_len, st, -1e30)
+    p = jnp.exp2(st) / l_row
+    dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    ds = p * (dpt - d_row)                        # [bk, bq]
+    # dQ^T += scale * K^T @ dS^T  (dense bk contraction)
+    dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
+        k.astype(jnp.float32), ds, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)       # [d, bq]
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finalize():
+        dqt_ref[0] = dq_acc[:].astype(dqt_ref.dtype)
+
+
+def _flash_fwd_stats(q, k, v, block_q, block_k):
+    """tpv forward returning (out, l) with l [b*h, 1, nq_p] f32."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    block_q = min(block_q, max(nq, 8))
+    block_k = min(block_k, max(nk, 8))
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    qf = qs.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vt = v.transpose(0, 2, 3, 1).reshape(b * h, d, nk)
+    nq_p = pl.cdiv(nq, block_q) * block_q
+    nk_p = pl.cdiv(nk, block_k) * block_k
+    qf = _pad_to(qf, nq_p, 1)
+    kf = _pad_to(kf, nk_p, 1)
+    vt = _pad_to(vt, nk_p, 2)
+    grid = (b * h, nq_p // block_q, nk_p // block_k)
+    vt = jnp.concatenate(
+        [vt, jnp.ones((b * h, 1, nk_p), vt.dtype)], axis=1)
+    out_t, l = pl.pallas_call(
+        functools.partial(_flash_kernel_tpv_stats, block_k=block_k,
+                          kv_len=nk, masked=(nk_p != nk), d_out=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, d + 1, block_k), lambda g, i, j: (g, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, block_q), lambda g, i, j: (g, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda g, i, j: (g, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, d, nq_p), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, nq_p), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((d + 1, block_q), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(qf, kf, vt)
+    out = out_t[:, :, :nq].reshape(b, h, d, nq).transpose(0, 3, 1, 2)
+    return out, l
+
+
+# backward blocks: square-ish tiles keep both kernels' [bk, bq] f32
+# score tile at 1MB (512x512) — small enough beside the f32 grad
+# accumulators
+BWD_BLOCK_Q = int(_os.environ.get("SDAOF_BWD_BLOCK_Q", "512"))
+BWD_BLOCK_K = int(_os.environ.get("SDAOF_BWD_BLOCK_K", "512"))
+
+
+def _flash_bwd(q, k, v, out, l, do, block_q, block_k):
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    block_q = min(block_q, max(nq, 8))
+    block_k = min(block_k, max(nk, 8))
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    qf = qs.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    of = out.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    dof = do.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    # D = rowsum(dO * O) — one cheap XLA pass, rides as a lane row
+    dvec = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32),
+                   axis=-1)[:, None, :]                 # [bh, 1, nq]
+    nq_p = pl.cdiv(nq, block_q) * block_q
+    nk_p = pl.cdiv(nk, block_k) * block_k
+    qf = _pad_to(qf, nq_p, 1)
+    kf = _pad_to(kf, nk_p, 1)
+    vf = _pad_to(vf, nk_p, 1)
+    dof = _pad_to(dof, nq_p, 1)
+    dvec = _pad_to(dvec, nq_p, 2)
+    if l.shape[2] != nq_p:
+        # forward/backward block sizes differ: pad l with ONES (padded q
+        # rows have zero dO and zero D, so any nonzero l is inert — but
+        # zero would divide by zero)
+        pad = jnp.ones((b * h, 1, nq_p - l.shape[2]), l.dtype)
+        l = jnp.concatenate([l, pad], axis=2)
+
+    masked = nk_p != nk
+    grid_kv = (b * h, nk_p // block_k, nq_p // block_q)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, d=d),
+        grid=grid_kv,
+        in_specs=[
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda g, i, j: (g, 0, j)),
+            pl.BlockSpec((1, 1, block_q), lambda g, i, j: (g, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nk_p, d), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(kf, vf, qf, dof, l, dvec)
+
+    grid_q = (b * h, nq_p // block_q, nk_p // block_k)
+    dqt = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k,
+                          kv_len=nk, masked=masked, scale=scale),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda g, i, j: (g, 0, i)),
+            pl.BlockSpec((1, 1, block_q), lambda g, i, j: (g, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda g, i, j: (g, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, nq_p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((d, block_q), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(qf, kf, vf, dof, l, dvec)
+
+    dq = dqt[:, :, :nq].reshape(b, h, d, nq).transpose(0, 3, 1, 2)
+    dk = dk[:, :nk].reshape(b, h, nk, d).transpose(0, 2, 1, 3)
+    dv = dv[:, :nk].reshape(b, h, nk, d).transpose(0, 2, 1, 3)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+
+@jax.custom_vjp
+def flash_attention_diff(q, k, v):
+    """:func:`flash_attention_tpv` with a flash BACKWARD (custom VJP):
+    O(N) memory in both directions. Max-free exp2 softmax (SD-bounded
+    logits) like the inference forward; gradient matmuls accumulate in
+    f32. Off-TPU the kernels run in Pallas interpret mode."""
+    return flash_attention_tpv(q, k, v) if not _interpret() \
+        else _flash_fwd_stats(q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)[0]
+
+
+def _fad_fwd(q, k, v):
+    out, l = _flash_fwd_stats(q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+    return out, (q, k, v, out, l)
+
+
+def _fad_bwd(res, g):
+    q, k, v, out, l = res
+    return _flash_bwd(q, k, v, out, l, g, BWD_BLOCK_Q, BWD_BLOCK_K)
+
+
+flash_attention_diff.defvjp(_fad_fwd, _fad_bwd)
+
+
 def attention_injected(q, k, v, *, n_own: int, n_uncond: int,
                        use_flash: bool | None = None):
     """Attention for the CFG KV-injection path: the first ``n_uncond``
@@ -638,8 +944,10 @@ def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
                 return flash_attention(q, k, v)[..., :d]
             return flash_attention(q, k, v)
         # default: transposed-PV kernel — runs SD's d=40 heads directly
-        # (no 64-pad; measured 19.6 -> 14.8 ms at 6144 tok, CFG batch 16)
-        return flash_attention_tpv(q, k, v)
+        # (no 64-pad; measured 19.6 -> 14.8 ms at 6144 tok, CFG batch 16).
+        # Routed through the custom-VJP wrapper: identical primal, and
+        # jax.grad gets the flash backward instead of an error
+        return flash_attention_diff(q, k, v)
     return xla_attention(q, k, v, bias=bias)
 
 

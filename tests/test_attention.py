@@ -140,3 +140,49 @@ def test_flash_keymask_matches_xla_bias(np_rng):
                                np.asarray(ref[:n_uncond]), atol=1e-5)
     assert np.abs(np.asarray(ref2[n_uncond:])
                   - np.asarray(ref[n_uncond:])).max() > 1e-4
+
+
+def test_flash_diff_forward_matches_xla(np_rng):
+    q, k, v = _rand_qkv(np_rng, b=2, nq=64, nk=64, h=2, d=16)
+    out = A.flash_attention_diff(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v))
+    ref = A.xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_diff_grads_match_xla(np_rng):
+    """VJP parity with XLA attention, including a non-block-divisible K
+    length (exercises the padded-K mask in the dQ kernel)."""
+    for nq, nk in ((64, 64), (48, 37)):
+        q, k, v = _rand_qkv(np_rng, b=2, nq=nq, nk=nk, h=2, d=16)
+        qj, kj, vj = map(jnp.asarray, (q, k, v))
+        w = np_rng.standard_normal((2, nq, 2, 16)).astype(np.float32)
+        wj = jnp.asarray(w)  # fixed cotangent via a linear loss
+
+        def loss_flash(q, k, v):
+            return jnp.sum(A.flash_attention_diff(q, k, v) * wj)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(A.xla_attention(q, k, v) * wj)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(qj, kj, vj)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(qj, kj, vj)
+        for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gx), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name} mismatch at nq={nq} nk={nk}")
+
+
+def test_flash_diff_value_and_grad_bf16_runs(np_rng):
+    q, k, v = _rand_qkv(np_rng, b=1, nq=32, nk=32, h=2, d=8)
+    qj, kj, vj = (jnp.asarray(a, jnp.bfloat16) for a in (q, k, v))
+
+    def loss(q, k, v):
+        return jnp.sum(A.flash_attention_diff(q, k, v).astype(jnp.float32))
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(qj, kj, vj)
+    assert jnp.isfinite(val)
+    for g in grads:
+        assert g.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
