@@ -95,20 +95,6 @@ def unsharp(img):
     return jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)
 
 
-def sobel_edges(lum):
-    """Device-side edge magnitude (keyframe detection can also run on the
-    host with cv2.Canny — frame_generator uses either)."""
-    lum = lum.astype(jnp.float32)
-    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
-    gx = jax.lax.conv_general_dilated(
-        lum[None, :, :, None], kx[:, :, None, None], (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
-    gy = jax.lax.conv_general_dilated(
-        lum[None, :, :, None], kx.T[:, :, None, None], (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
-    return jnp.sqrt(gx ** 2 + gy ** 2)
-
-
 def _blur_any_sigma(x, sigma: float):
     """Gaussian blur at arbitrary sigma. Large sigmas go through a
     downsample -> blur -> upsample pyramid (PIL's own GaussianBlur is a
