@@ -91,6 +91,35 @@ def _flow_conf_batch(params, cfg: FlowConfidenceConfig, src, tgt,
     return flow_fwd, conf, log_conf
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "iters"))
+def _flow_conf_batch_bidir(params, cfg: FlowConfidenceConfig, src, tgt,
+                           iters: int | None = None):
+    """Both directions of each pair from ONE RAFT batch.
+
+    The confidence estimate already runs RAFT forward AND backward per
+    pair (the fb-consistency check needs both fields); the reverse pair
+    (t, s) is exactly those same two fields with roles swapped, so the
+    keyframe pipeline's O(N^2) pairwise phase gets the reverse entry for
+    free — one RAFT program instead of two per unordered pair
+    (reference analog: PDCNetAux caches each *directed* pair separately,
+    ofgen_keyframe_inpaint.py:585-600).
+
+    Returns (flow_st [B,H,W,2] in t-coords, conf_st,
+             flow_ts in s-coords, conf_ts) — bit-identical to two
+    ``_flow_conf_batch`` calls (the encoders are per-image: instance
+    norm + inference-mode batch norm)."""
+    b = src.shape[0]
+    img1 = jnp.concatenate([tgt, src], axis=0)
+    img2 = jnp.concatenate([src, tgt], axis=0)
+    _, flow_up = raft_apply(params, cfg.raft, img1, img2, iters=iters)
+    flow_fwd, flow_bwd = flow_up[:b], flow_up[b:]
+    fb = jax.vmap(lambda f, bwd: fb_confidence(
+        f, bwd, sigma=cfg.fb_sigma, alpha=cfg.fb_alpha))
+    conf_st, _ = fb(flow_fwd, flow_bwd)
+    conf_ts, _ = fb(flow_bwd, flow_fwd)
+    return flow_fwd, conf_st, flow_bwd, conf_ts
+
+
 class FlowConfidenceEstimator:
     """Drop-in ``calc`` / ``calc_batch`` provider (pdcnet_of.py API)."""
 
@@ -132,6 +161,21 @@ class FlowConfidenceEstimator:
         flow, conf, _ = self.calc_batch_device(src, tgt)
         return (np.asarray(flow.astype(jnp.float16)),
                 np.asarray(conf.astype(jnp.float16)))
+
+    def calc_batch_bidir_f16(self, src, tgt):
+        """Both directions per pair from one RAFT program: returns numpy
+        f16 (flow_st, conf_st, flow_ts, conf_ts). flow_st lives in the
+        tgt frame (pointing at src), flow_ts in the src frame. Halves
+        the RAFT work of any consumer that needs both directed pairs —
+        the keyframe pipeline's pairwise flow phase always does."""
+        src = jnp.asarray(src).astype(jnp.float32)
+        tgt = jnp.asarray(tgt).astype(jnp.float32)
+        src_p, (h, w) = pad_to_multiple(src, 8)
+        tgt_p, _ = pad_to_multiple(tgt, 8)
+        f_st, c_st, f_ts, c_ts = _flow_conf_batch_bidir(
+            self.params, self.cfg, src_p, tgt_p)
+        crop = lambda a: np.asarray(a[:, :h, :w].astype(jnp.float16))
+        return crop(f_st), crop(c_st), crop(f_ts), crop(c_ts)
 
     def calc_batch_device(self, src, tgt):
         """Async variant: returns device arrays without host sync, so the

@@ -281,6 +281,23 @@ class FlowCache:
         return np.load(self._path(s, t)).astype(np.float32)
 
     def _compute_pairs(self, video: VideoWorkspace, pairs):
+        # The estimator's fb-confidence already runs RAFT in BOTH
+        # directions per pair, so one program yields (s, t) AND (t, s)
+        # (calc_batch_bidir_f16) — dedupe to unordered pairs and store
+        # both entries: the pairwise phase (calculate_pairwise asks for
+        # every directed pair) does half the RAFT work for the same
+        # fields (bit-identical at equal batch size; across batch sizes
+        # XLA retiles and the low f16 bits can differ).
+        bidir = hasattr(self.estimator, "calc_batch_bidir_f16")
+        if bidir:
+            seen, canon = set(), []
+            for s, t in pairs:
+                key = (min(s, t), max(s, t))
+                if key in seen:
+                    continue
+                seen.add(key)
+                canon.append((s, t))
+            pairs = canon
         start = 0
         while start < len(pairs):
             batch = pairs[start: start + self.batch_size]
@@ -290,7 +307,10 @@ class FlowCache:
             # device. Downloads ride as f16 (calc_batch_f16): half the
             # bytes across the O(N^2) pairwise phase.
             try:
-                if hasattr(self.estimator, "calc_batch_f16"):
+                if bidir:
+                    flow, conf, rflow, rconf = \
+                        self.estimator.calc_batch_bidir_f16(src, tgt)
+                elif hasattr(self.estimator, "calc_batch_f16"):
                     flow, conf = self.estimator.calc_batch_f16(src, tgt)
                 else:
                     flow, conf, _ = self.estimator.calc_batch(src, tgt)
@@ -319,6 +339,12 @@ class FlowCache:
                     axis=-1, dtype=np.float16)
                 np.save(self._path(s, t), entry)
                 self.cached_pair.add((s, t))
+                if bidir:
+                    rentry = np.concatenate(
+                        [rflow[i], rconf[i][..., None]],
+                        axis=-1, dtype=np.float16)
+                    np.save(self._path(t, s), rentry)
+                    self.cached_pair.add((t, s))
 
     def calculate_single(self, video, s, t) -> np.ndarray:
         if s == t:

@@ -141,6 +141,27 @@ def test_flow_confidence_estimator_api(rng):
     np.testing.assert_allclose(bflow[0], bflow[1], atol=1e-5)
 
 
+def test_calc_batch_bidir_matches_directed(rng):
+    """One bidir program == the two directed calc_batch calls (the
+    encoders are per-image, so batch composition cannot change values)."""
+    cfg = FC.FlowConfidenceConfig(raft=RF.RAFTConfig(iters=2, corr_levels=2,
+                                                     corr_radius=2))
+    params = RF.raft_init(rng, cfg.raft)
+    est = FC.FlowConfidenceEstimator(params, cfg)
+    g = np.random.default_rng(1)
+    src = g.uniform(0, 255, (2, 32, 40, 3))
+    tgt = np.roll(src, 3, axis=2)
+
+    f_st, c_st, f_ts, c_ts = est.calc_batch_bidir_f16(src, tgt)
+    assert f_st.shape == (2, 32, 40, 2) and f_ts.shape == (2, 32, 40, 2)
+    d_st_f, d_st_c, _ = est.calc_batch(src, tgt)
+    d_ts_f, d_ts_c, _ = est.calc_batch(tgt, src)
+    np.testing.assert_allclose(f_st, d_st_f.astype(np.float16), atol=0)
+    np.testing.assert_allclose(c_st, d_st_c.astype(np.float16), atol=0)
+    np.testing.assert_allclose(f_ts, d_ts_f.astype(np.float16), atol=0)
+    np.testing.assert_allclose(c_ts, d_ts_c.astype(np.float16), atol=0)
+
+
 def test_forward_interpolate_identity_for_zero_flow():
     from sd_animation_optical_flow_tpu.models.raft import forward_interpolate
     flow = np.zeros((8, 10, 2), np.float32)

@@ -86,6 +86,40 @@ def test_flow_cache_and_pairwise(tmp_path, flow_est):
     assert len(fc.cached_pair) == 0
 
 
+def test_flow_cache_bidir_dedup(tmp_path, flow_est):
+    """The pairwise phase runs ONE RAFT program per unordered pair and
+    the stored entries match the directed single-pair results."""
+    calls = []
+
+    class Counting:
+        def calc_batch_bidir_f16(self, src, tgt):
+            calls.append(len(src))
+            return flow_est.calc_batch_bidir_f16(src, tgt)
+
+    frames = _synthetic_frames(3, 32, 32)
+    ws = KI.VideoWorkspace(str(tmp_path / "ws"), frames=frames,
+                           size=(32, 32), keep_every=1)
+    fc = KI.FlowCache(Counting(), str(tmp_path / "ws"), batch_size=8)
+    idx = KI.FrameIndices([0, 1, 2])
+    mat = fc.calculate_pairwise(ws, idx)
+    # 6 directed pairs -> 3 unordered -> one batch of 3 pairs
+    assert sum(calls) == 3
+    assert len(fc.cached_pair) == 6
+    for i, s in enumerate(idx):
+        for j, t in enumerate(idx):
+            if s == t:
+                continue
+            ref_f, ref_c, _ = flow_est.calc(
+                ws.get_raw_frame(s)[..., ::-1].astype(np.float32),
+                ws.get_raw_frame(t)[..., ::-1].astype(np.float32))
+            # batch-1 vs batch-3 programs tile differently: low-bit
+            # drift only (the same-batch bidir parity test pins atol=0)
+            np.testing.assert_allclose(mat[i, j, :, :, :2], ref_f,
+                                       atol=2e-3)
+            np.testing.assert_allclose(mat[i, j, :, :, 2], ref_c,
+                                       atol=2e-3)
+
+
 def test_keyframe_conv_selects_best_connected(tmp_path, flow_est):
     frames = _synthetic_frames(6, 32, 32)
     ws = KI.VideoWorkspace(str(tmp_path / "ws"), frames=frames,
