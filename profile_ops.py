@@ -1,11 +1,14 @@
-"""Round-2 per-op profiling harness (real TPU chip).
+"""Per-op profiling harness (real TPU chip; rounds 2-3).
 
 Every measured op runs ITERS times inside ONE compiled program
 (lax.fori_loop with a data dependency threaded through), because a
-dependent dispatch through the axon tunnel costs seconds of RTT —
-host-side rep loops measure the tunnel, not the chip.
+dependent dispatch through the axon tunnel costs ~165ms of RTT —
+host-side rep loops measure the tunnel, not the chip. The per-op time
+is the DIFFERENCE between a 3*ITERS and an ITERS program divided by
+2*ITERS, which cancels the dispatch + readback overhead entirely
+(round 2's single-program timing spread ~165ms/ITERS over every op).
 
-Usage: python profile_r2.py [unet|unet_parts|vae|vae_parts|warp|all]
+Usage: python profile_ops.py [unet|unet_parts|vae|vae_parts|warp|all]
 """
 
 import os
@@ -33,27 +36,36 @@ def timed(name, fn, *args, iters=ITERS, flops=None):
     """fn(*args) -> array; last arg is threaded through the loop
     (fn must accept it as its last positional and return something of
     the same shape, OR we thread a scalar dependency)."""
-    @jax.jit
-    def many(*a):
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def many(n, *a):
         def body(i, x):
             out = fn(*a[:-1], x)
             if out.shape == x.shape and out.dtype == x.dtype:
                 return out
             # cheap dependency: fold a scalar of the output back in
             return x + jnp.mean(out).astype(x.dtype) * 0
-        final = lax.fori_loop(0, iters, body, a[-1])
+        final = lax.fori_loop(0, n, body, a[-1])
         # return a SCALAR: device_get of a big tensor would drag the
         # ~80MB/s host link into the measurement
         return jnp.sum(final.astype(jnp.float32))
 
     # NOTE: block_until_ready does NOT block through the axon tunnel —
-    # device_get is the only reliable completion barrier here.
-    r = many(*args)
-    jax.device_get(r)               # compile + warm
-    t0 = time.perf_counter()
-    r = many(*args)
-    jax.device_get(r)
-    dt = (time.perf_counter() - t0) / iters
+    # device_get is the only reliable completion barrier here. Time
+    # t(3*iters) - t(iters): dispatch + readback overhead cancels.
+    jax.device_get(many(iters, *args))          # compile + warm
+    jax.device_get(many(3 * iters, *args))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.device_get(many(iters, *args))
+        tlo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(many(3 * iters, *args))
+        thi = time.perf_counter() - t0
+        best = min(best, (thi - tlo) / (2 * iters))
+    dt = best
     extra = ""
     if flops:
         extra = f"  {flops / dt / 1e12:.1f} TF/s"
@@ -165,15 +177,18 @@ def prof_unet_parts():
     timed("upsample2x+conv3x3 32x48x640",
           lambda p, x: conv2d(p, nearest_upsample2x(x)), up, x, flops=fl)
 
-    # attention alone at L0 shape (6144 tokens, 8 heads, d=40)
+    # attention alone at every UNet level shape (8 heads; d = ch/8)
     from sd_animation_optical_flow_tpu.ops.attention import attention
-    q = jnp.zeros((CFGB, 6144, 8, 40), DT)
-    timed("self-attn 6144 tok d40 (routed)",
-          lambda q, k, x: attention(q, k, x), q, q, q)
-    kc = jnp.zeros((CFGB, 231, 8, 40), DT)
-    vc = jnp.zeros((CFGB, 231, 8, 40), DT)
-    timed("cross-attn 6144x231 (routed)",
-          lambda q, k, v: attention(q, k, v), q, kc, vc)
+    for lname, ntok, d in (("L0", 6144, 40), ("L1", 1536, 80),
+                           ("L2", 384, 160)):
+        q = jax.random.normal(rng, (CFGB, ntok, 8, d), DT)
+        fl = 2 * 2 * CFGB * 8 * ntok * ntok * d
+        timed(f"self-attn {lname} {ntok} tok d{d} (routed)",
+              lambda q, k, x: attention(q, k, x), q, q, q, flops=fl)
+        kc = jax.random.normal(rng, (CFGB, 231, 8, d), DT)
+        fl = 2 * 2 * CFGB * 8 * ntok * 231 * d
+        timed(f"cross-attn {lname} {ntok}x231 (routed)",
+              lambda q, k, v: attention(q, k, v), q, kc, kc, flops=fl)
 
     # GEGLU ff at L0
     from sd_animation_optical_flow_tpu.models.layers import linear_init

@@ -29,6 +29,20 @@ def _add_common(p):
                    "(.safetensors/.ckpt); random weights if omitted")
     p.add_argument("--inpaint-ckpt", default=None,
                    help="9-ch inpainting checkpoint")
+    p.add_argument("--spec", default="sd15",
+                   help="model spec: builtin name or YAML path (ours or "
+                        "the reference's OmegaConf schema)")
+    p.add_argument("--inpaint-spec", default="sd15-inpaint9",
+                   help="inpainting model spec (builtin name or YAML)")
+    p.add_argument("--flow-iters", type=int, default=20,
+                   help="RAFT refinement iterations (reference: 20, "
+                        "ofgen.py:77)")
+    p.add_argument("--flow-corr-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="storage dtype of the RAFT all-pairs correlation "
+                        "pyramid; bfloat16 halves the flow program's HBM "
+                        "(~0.8GB/pair at 512x768) so larger --flow-batch "
+                        "fits next to the resident models")
     p.add_argument("--raft-ckpt", default=None, help="raft-things weights")
     p.add_argument("--tagger-model", default=None, help="WD tagger .onnx")
     p.add_argument("--tagger-tags", default=None, help="selected_tags.csv")
@@ -55,10 +69,11 @@ def _build_models(args):
     from .pipelines.tagger import Tagger
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    sd = C.create_model("sd15", args.ckpt, dtype=dtype)
-    sd9 = C.create_model("sd15-inpaint9", args.inpaint_ckpt, dtype=dtype)
+    sd = C.create_model(args.spec, args.ckpt, dtype=dtype)
+    sd9 = C.create_model(args.inpaint_spec, args.inpaint_ckpt, dtype=dtype)
 
-    fcfg = FC.FlowConfidenceConfig()
+    fcfg = FC.FlowConfidenceConfig(raft=RF.RAFTConfig(
+        iters=args.flow_iters, corr_dtype=args.flow_corr_dtype))
     if args.raft_ckpt:
         from .utils.port_weights import load_state_dict, port_raft
         raft_p, _ = port_raft(load_state_dict(args.raft_ckpt))
@@ -88,7 +103,10 @@ def cmd_pixel_inpaint(args):
         ddim_steps=args.ddim_steps, seed=args.seed,
         prompt_extra=args.prompt_extra, frame_batch=args.frame_batch,
         sampler=args.sampler, cfg_interval=args.cfg_interval,
-        deepcache_interval=args.deepcache_interval)
+        deepcache_interval=args.deepcache_interval, dp=args.dp)
+    if cfg.dp > 0 and cfg.frame_batch <= 1:
+        sys.exit("--dp requires --frame-batch > 1 (dp shards the "
+                 "frame batch; see run_batched)")
     if cfg.frame_batch > 1:
         from .pipelines.keyframes import FrameGenConfig, frame_generator
         gen = frame_generator(args.input, FrameGenConfig(
@@ -137,13 +155,31 @@ def cmd_keyframe_inpaint(args):
                            size=(args.width, args.height),
                            keep_every=args.keep_every,
                            max_len_sec=args.max_len_sec)
+    sp = None
+    if args.sp > 0:
+        import dataclasses
+        from .models.unet import SeqParallelConfig
+        from .parallel.mesh import make_mesh, replicate_tree
+        mesh = make_mesh(dp=args.sp, devices=jax.devices()[:args.sp])
+        sp = SeqParallelConfig(mesh=mesh, axis="dp")
+        # bundles come off create_model committed to device 0; the sp
+        # programs constrain shardings over the whole mesh, so every
+        # device-resident bundle leaf must replicate (params + schedule)
+        def _rep(b):
+            return dataclasses.replace(
+                b, unet_params=replicate_tree(b.unet_params, mesh),
+                vae_params=replicate_tree(b.vae_params, mesh),
+                clip_params=replicate_tree(b.clip_params, mesh),
+                sched=replicate_tree(b.sched, mesh))
+        sd, sd9 = _rep(sd), _rep(sd9)
     cfg = KI.KeyframeInpaintConfig(
         size=(args.width, args.height), keep_every=args.keep_every,
         kernel_size=args.kernel_size, stride=args.stride,
         num_ref_for_generation=args.num_refs,
         denoising_strength=args.denoising_strength,
         ddim_steps=args.ddim_steps, seed=args.seed, mode=args.mode,
-        prompt_extra=args.prompt_extra, level_batch=args.level_batch)
+        prompt_extra=args.prompt_extra, level_batch=args.level_batch,
+        flow_batch=args.flow_batch, sp=sp)
     out = KI.run(ws, sd, sd9, flow_est, tagger, cfg)
     print(f"[cli] wrote {out}")
 
@@ -261,6 +297,10 @@ def main(argv=None):
     p1.add_argument("--frame-batch", type=int, default=1,
                     help=">1: batch non-key frames of a segment through "
                          "one compiled program (TPU throughput)")
+    p1.add_argument("--dp", type=int, default=0,
+                    help=">0: shard the frame batch over this many "
+                         "devices (data-parallel mesh; requires "
+                         "--frame-batch divisible by it)")
     p1.add_argument("--cfg-interval", type=int, default=1,
                     help="turbo: refresh the uncond CFG branch every "
                          "k-th step (approximation, 1 = exact)")
@@ -288,6 +328,15 @@ def main(argv=None):
     p3.add_argument("--mode", default="warp_and_inpaint_crossattn",
                     choices=["warp_and_inpaint", "self_attn", "both",
                              "warp_and_inpaint_crossattn"])
+    p3.add_argument("--flow-batch", type=int, default=4,
+                    help="pairs per compiled flow program (adaptively "
+                         "halved on compile OOM; raise with "
+                         "--flow-corr-dtype bfloat16)")
+    p3.add_argument("--sp", type=int, default=0,
+                    help=">0: sequence-parallel strip denoising over "
+                         "this many devices (Ulysses attention; strip "
+                         "rows shard across the mesh). Requires UNet "
+                         "head count divisible by it.")
     p3.set_defaults(fn=cmd_keyframe_inpaint)
 
     def _add_single_image(p):

@@ -149,13 +149,17 @@ def load_spec(path_or_name: str) -> BundleSpec:
         doc = yaml.safe_load(f)
     if "model" in doc and "target" in doc.get("model", {}):
         return _spec_from_reference_yaml(doc)
-    # native schema: flat sections
-    unet = UNetConfig(**doc.get("unet", {}))
-    vae = VAEConfig(**doc.get("vae", {}))
-    clip = CLIPTextConfig(**doc.get("clip", {}))
+    # native schema: flat sections. YAML sequences arrive as lists —
+    # coerce to tuples so the frozen configs stay hashable (they ride
+    # as jit static arguments).
+    detuple = lambda d: {k: tuple(v) if isinstance(v, list) else v
+                         for k, v in d.items()}
+    unet = UNetConfig(**detuple(doc.get("unet", {})))
+    vae = VAEConfig(**detuple(doc.get("vae", {})))
+    clip = CLIPTextConfig(**detuple(doc.get("clip", {})))
     top = {k: v for k, v in doc.items()
            if k not in ("unet", "vae", "clip")}
-    return BundleSpec(unet=unet, vae=vae, clip=clip, **top)
+    return BundleSpec(unet=unet, vae=vae, clip=clip, **detuple(top))
 
 
 def create_model(path_or_name: str, ckpt_path: Optional[str] = None,

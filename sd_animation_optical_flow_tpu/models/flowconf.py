@@ -13,6 +13,16 @@ out-of-bounds masking, calibrated so ~0.95 corresponds to ~1/3 px
 round-trip error — preserving the reference's mask-threshold behavior
 without the external dependency. The batched ``calc_batch`` API is the
 one the keyframe pipeline requires (ofgen_keyframe_inpaint.py:594).
+
+A LEARNED uncertainty decoder (the reference's trained head,
+pdcnet_of.py:66-75: confidence = softmax(weight_map)[0]) is also
+provided: a small conv head over RAFT's final GRU hidden state predicts
+a per-pixel Laplace scale b of the flow error; confidence =
+P(|e_x|<R) * P(|e_y|<R) = (1-exp(-R/b))^2. It trains with
+training/flow_train.py:uncertainty_train_step (NLL, flow frozen) on the
+same synthetic-augmentation data as the flow trainer, and composes with
+fb-consistency via FlowConfidenceConfig.uncertainty =
+"fb" | "learned" | "min".
 """
 
 from __future__ import annotations
@@ -39,6 +49,56 @@ class FlowConfidenceConfig:
     # relative slack term (classic fb-consistency): tolerated error grows
     # with flow magnitude
     fb_alpha: float = 0.01
+    # confidence source: "fb" (forward-backward consistency, default),
+    # "learned" (trained uncertainty decoder — the reference's PDCNet+
+    # trained head analog, pdcnet_of.py:66-75), or "min" (elementwise
+    # minimum of both: a pixel must pass BOTH checks). "learned"/"min"
+    # require uncertainty-head params (estimator head_params).
+    uncertainty: str = "fb"
+    # learned confidence = P(|e_x|<R)P(|e_y|<R) under the predicted
+    # per-pixel Laplace scale; R=1/3 px aligns conf~0.95 with the fb
+    # calibration (DECISIONS.md round-2 study)
+    learned_radius: float = 1.0 / 3.0
+
+
+# ---------------------------------------------------------------------------
+# learned uncertainty decoder (reference: pdcnet_of.py:66-75 — PDCNet+'s
+# confidence is a TRAINED head; here a conv head over RAFT's final GRU
+# hidden state + predicted flow predicts a per-pixel Laplace scale of
+# the flow error, trained by training/flow_train.py:uncertainty_train_step)
+# ---------------------------------------------------------------------------
+
+def uncertainty_head_init(rng, hidden_dim: int = 128):
+    from .layers import conv2d_init
+    k = jax.random.split(rng, 3)
+    in_ch = hidden_dim + 2                    # GRU state + low-res flow
+    return {"conv1": conv2d_init(k[0], in_ch, 128, 3),
+            "conv2": conv2d_init(k[1], 128, 64, 3),
+            "out": conv2d_init(k[2], 64, 1, 1)}
+
+
+def uncertainty_head_apply(params, net, flow_low):
+    """net [N,H/8,W/8,hidden], flow_low [N,H/8,W/8,2] ->
+    log_b [N,H/8,W/8] (log Laplace scale of per-axis flow error,
+    full-res pixel units)."""
+    from .layers import conv2d
+    x = jnp.concatenate([net, flow_low * 0.125], axis=-1)
+    x = jax.nn.relu(conv2d(params["conv1"], x))
+    x = jax.nn.relu(conv2d(params["conv2"], x))
+    # clamp for numeric sanity: b in [e^-6, e^6] px
+    return jnp.clip(conv2d(params["out"], x)[..., 0], -6.0, 6.0)
+
+
+def learned_confidence(log_b_low, out_hw, radius: float):
+    """Upsample the 1/8-res log-scale to full res (bilinear, like the
+    reference's uncertainty decoder output resize) and map to
+    P(|e_x|<R)P(|e_y|<R) = (1 - exp(-R/b))^2 in (0,1)."""
+    h, w = out_hw
+    log_b = jax.image.resize(log_b_low, (log_b_low.shape[0], h, w),
+                             method="bilinear")
+    b = jnp.exp(log_b)
+    p = 1.0 - jnp.exp(-radius / b)
+    return p * p
 
 
 def _warp_field(field, flow):
@@ -75,7 +135,7 @@ def fb_confidence(flow_fwd, flow_bwd, *, sigma: float, alpha: float):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "iters"))
 def _flow_conf_batch(params, cfg: FlowConfidenceConfig, src, tgt,
-                     iters: int | None = None):
+                     iters: int | None = None, head_params=None):
     """src/tgt [B, H, W, 3] RGB float 0-255 (H, W multiples of 8).
 
     Returns (flow [B,H,W,2] target-frame, conf [B,H,W], log_conf)."""
@@ -83,11 +143,31 @@ def _flow_conf_batch(params, cfg: FlowConfidenceConfig, src, tgt,
     # one RAFT batch of 2B: [tgt->src | src->tgt]
     img1 = jnp.concatenate([tgt, src], axis=0)
     img2 = jnp.concatenate([src, tgt], axis=0)
-    _, flow_up = raft_apply(params, cfg.raft, img1, img2, iters=iters)
+    want_feats = cfg.uncertainty != "fb"
+    if want_feats:
+        flow_low2, flow_up, net2 = raft_apply(
+            params, cfg.raft, img1, img2, iters=iters, with_features=True)
+    else:
+        _, flow_up = raft_apply(params, cfg.raft, img1, img2, iters=iters)
     flow_fwd, flow_bwd = flow_up[:b], flow_up[b:]
     conf, log_conf = jax.vmap(
         lambda f, bwd: fb_confidence(f, bwd, sigma=cfg.fb_sigma,
                                      alpha=cfg.fb_alpha))(flow_fwd, flow_bwd)
+    if want_feats:
+        assert head_params is not None, \
+            "uncertainty='learned'/'min' needs trained head params"
+        log_b = uncertainty_head_apply(head_params, net2[:b],
+                                       flow_low2[:b])
+        conf_l = learned_confidence(log_b, flow_fwd.shape[1:3],
+                                    cfg.learned_radius)
+        conf_new = conf_l if cfg.uncertainty == "learned" \
+            else jnp.minimum(conf, conf_l)
+        # keep the out-of-bounds sentinel from the fb pass
+        log_conf = jnp.where(log_conf <= -1e4, -1e4,
+                             jnp.log(conf_new + 1e-30))
+        conf = jnp.where(log_conf <= -1e4,
+                         jnp.zeros_like(conf_new), conf_new) \
+            if cfg.uncertainty == "learned" else conf_new
     return flow_fwd, conf, log_conf
 
 
@@ -124,9 +204,14 @@ class FlowConfidenceEstimator:
     """Drop-in ``calc`` / ``calc_batch`` provider (pdcnet_of.py API)."""
 
     def __init__(self, params, cfg: FlowConfidenceConfig = FlowConfidenceConfig(),
-                 chunk: int = 0):
+                 chunk: int = 0, head_params=None):
         self.params = params
         self.cfg = cfg
+        # trained uncertainty-decoder params (uncertainty_head_init);
+        # required when cfg.uncertainty is "learned" or "min". The bidir
+        # pairwise path keeps fb-consistency regardless (both directions
+        # of it come free there; the learned head is per-direction).
+        self.head_params = head_params
         # pairs per compiled RAFT call; 0 = whole batch in one program
         # (default). Isolated per-pair device time IS lower at chunk 1
         # (302/444/502 ms/pair at batch 1/2/4 — gathers lose efficiency
@@ -190,12 +275,14 @@ class FlowConfidenceEstimator:
         tgt_p, _ = pad_to_multiple(tgt, 8)
         b = src_p.shape[0]
         if self.chunk == 0 or b <= self.chunk:
-            flow, conf, log_conf = _flow_conf_batch(self.params, self.cfg,
-                                                    src_p, tgt_p)
+            flow, conf, log_conf = _flow_conf_batch(
+                self.params, self.cfg, src_p, tgt_p,
+                head_params=self.head_params)
         else:
             parts = [_flow_conf_batch(self.params, self.cfg,
                                       src_p[i:i + self.chunk],
-                                      tgt_p[i:i + self.chunk])
+                                      tgt_p[i:i + self.chunk],
+                                      head_params=self.head_params)
                      for i in range(0, b, self.chunk)]
             flow = jnp.concatenate([p[0] for p in parts], axis=0)
             conf = jnp.concatenate([p[1] for p in parts], axis=0)

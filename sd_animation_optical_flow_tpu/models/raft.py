@@ -343,13 +343,17 @@ def coords_grid(n, h, w):
 
 def raft_apply(params, cfg: RAFTConfig, image1, image2, *,
                iters: int | None = None, flow_init=None,
-               all_iters: bool = False):
+               all_iters: bool = False, with_features: bool = False):
     """image1/image2 [N, H, W, 3] RGB in [0, 255] (H, W multiples of 8).
 
     Returns (flow_low [N,H/8,W/8,2], flow_up [N,H,W,2]) — the reference's
     test_mode contract (raft.py:141-142). With ``all_iters`` both returns
     carry a leading iterations axis (the training-mode flow_predictions
-    list, raft.py:122-139), for the sequence loss.
+    list, raft.py:122-139), for the sequence loss. With ``with_features``
+    a third return carries the final GRU hidden state [N,H/8,W/8,hidden]
+    — the matching-state input of the learned uncertainty head
+    (models/flowconf.py; PDCNet+'s trained uncertainty decoder analog,
+    reference pdcnet_of.py:66-75).
     """
     iters = iters or cfg.iters
     img1 = 2.0 * (image1 / 255.0) - 1.0
@@ -412,12 +416,14 @@ def raft_apply(params, cfg: RAFTConfig, image1, image2, *,
             flows_up = jax.vmap(upflow8)(flows_low)
         else:
             flows_up = jax.vmap(upsample_flow_convex)(flows_low, up_masks)
-        return flows_low, flows_up
+        return (flows_low, flows_up, net) if with_features \
+            else (flows_low, flows_up)
     if cfg.small:
         flow_up = upflow8(flow_low)
     else:
         flow_up = upsample_flow_convex(flow_low, up_masks[-1])
-    return flow_low, flow_up
+    return (flow_low, flow_up, net) if with_features \
+        else (flow_low, flow_up)
 
 
 def pad_to_multiple(img, multiple: int = 8):

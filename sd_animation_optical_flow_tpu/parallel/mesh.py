@@ -36,3 +36,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard axis 0 (batch/frames) over dp."""
     return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Place every leaf replicated over the mesh. Params committed to a
+    single device cannot feed a multi-device jit (in-jit sharding
+    constraints see conflicting device sets); CLI scale-out paths
+    replicate the model bundles through this before the first call."""
+    import jax
+    return jax.device_put(tree, replicated(mesh))

@@ -280,7 +280,8 @@ class FlowCache:
         # f16 on disk (and on the wire) -> f32 for host math
         return np.load(self._path(s, t)).astype(np.float32)
 
-    def _compute_pairs(self, video: VideoWorkspace, pairs):
+    def _compute_pairs(self, video: VideoWorkspace, pairs,
+                       store_reverse: bool = True):
         # The estimator's fb-confidence already runs RAFT in BOTH
         # directions per pair, so one program yields (s, t) AND (t, s)
         # (calc_batch_bidir_f16) — dedupe to unordered pairs and store
@@ -288,7 +289,12 @@ class FlowCache:
         # every directed pair) does half the RAFT work for the same
         # fields (bit-identical at equal batch size; across batch sizes
         # XLA retiles and the low f16 bits can differ).
-        bidir = hasattr(self.estimator, "calc_batch_bidir_f16")
+        # store_reverse=False (the multiple-to-one back-fill phase, which
+        # only ever reads (s, target)) skips the reverse download+write:
+        # the backward RAFT pass still runs on device (fb-confidence
+        # needs it) but its fields don't cross the host link.
+        bidir = store_reverse and hasattr(self.estimator,
+                                          "calc_batch_bidir_f16")
         if bidir:
             seen, canon = set(), []
             for s, t in pairs:
@@ -362,7 +368,7 @@ class FlowCache:
                 if s != target_index and (s, target_index) not in
                 self.cached_pair]
         if todo:
-            self._compute_pairs(video, todo)
+            self._compute_pairs(video, todo, store_reverse=False)
         n = len(source_indices)
         ret = np.zeros((n, 1, *video.size_hw, 3), np.float32)
         for i, s in enumerate(source_indices):

@@ -61,6 +61,10 @@ class PixelInpaintConfig:
     # independent; outputs stay bitwise-equal to sequential fixed-seed
     # runs via noise tiling). TPU throughput knob; use run_batched().
     frame_batch: int = 1
+    # >0: shard the frame batch over a dp-axis mesh of this many devices
+    # (SURVEY §2.7 data-parallel row). Only meaningful with
+    # frame_batch > 1 and run_batched(); frame_batch % dp must be 0.
+    dp: int = 0
 
 
 def generate_mask(cum_confidence: np.ndarray, log_confidence: np.ndarray,
@@ -291,12 +295,16 @@ def _dispatch_batch_flow(batch, reference_frame, flow_estimator):
 
 
 def _process_batch(batch, flow_pair, out_dir, reference_frame,
-                   reference_ai_frame, sd_inpaint, tagger, cfg):
+                   reference_ai_frame, sd_inpaint, tagger, cfg,
+                   mesh=None):
     """Run a list of [(frame_bgr, counter)] non-key frames of one
     keyframe segment as a single batched program chain: (prefetched)
     batched flow -> vmapped warp + mask -> img2img_inpaint_batch ->
     per-frame PNGs."""
     import jax
+
+    if mesh is not None and len(batch) % mesh.shape["dp"] != 0:
+        mesh = None  # ragged tail batch: fall back to single-device
 
     flow_d, conf_d, frames_u8_d = flow_pair
 
@@ -314,7 +322,7 @@ def _process_batch(batch, flow_pair, out_dir, reference_frame,
         refs_model, denoising_strength=cfg.denoising_strength,
         ddim_steps=cfg.ddim_steps, mask_blur=cfg.mask_blur,
         guidance_schedule_func=cfg.guidance_schedule_func, seed=cfg.seed,
-        sampler=cfg.sampler, cfg_interval=cfg.cfg_interval)
+        sampler=cfg.sampler, cfg_interval=cfg.cfg_interval, mesh=mesh)
     outs_bgr = jnp.clip(outs * 127.5 + 127.5, 0, 255)[..., ::-1]
 
     if cfg.propagated_pixel_weight >= 0.001:
@@ -356,6 +364,15 @@ def run_batched(frames: Iterable[Tuple[np.ndarray, bool, int]],
     os.makedirs(out_dir, exist_ok=True)
     bsz = max(cfg.frame_batch, 1)
 
+    mesh = None
+    if cfg.dp > 0:
+        import jax
+        from ..parallel.mesh import make_mesh
+        if bsz % cfg.dp != 0:
+            raise ValueError(f"frame_batch={bsz} not divisible by "
+                             f"dp={cfg.dp}")
+        mesh = make_mesh(dp=cfg.dp, devices=jax.devices()[:cfg.dp])
+
     reference_frame = None
     reference_ai_frame = None
     pending: list = []
@@ -367,7 +384,8 @@ def run_batched(frames: Iterable[Tuple[np.ndarray, bool, int]],
             batch, flow_pair = inflight
             inflight = None
             _process_batch(batch, flow_pair, out_dir, reference_frame,
-                           reference_ai_frame, sd_inpaint, tagger, cfg)
+                           reference_ai_frame, sd_inpaint, tagger, cfg,
+                           mesh=mesh)
 
     def queue_batch():
         """Dispatch this batch's flow (async), then denoise the PREVIOUS

@@ -39,6 +39,17 @@ class Tagger:
                 self._session = None
                 self._tags = None
 
+    @classmethod
+    def from_session(cls, session, tags, threshold: float = 0.75):
+        """Build a Tagger around an existing ONNX-like session (any
+        object with get_inputs()/run()); exercises the real inference
+        branch without onnxruntime — used by tests and by callers that
+        manage their own runtime."""
+        t = cls(threshold=threshold)
+        t._session = session
+        t._tags = list(tags)
+        return t
+
     @property
     def available(self) -> bool:
         return self._session is not None

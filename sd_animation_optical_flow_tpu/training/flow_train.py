@@ -87,3 +87,72 @@ def flow_train_step(state: FlowTrainState, cfg: RF.RAFTConfig, tx,
     new_state = FlowTrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
     return new_state, loss, metrics
+
+
+# ---------------------------------------------------------------------------
+# learned uncertainty decoder training (reference: pdcnet_of.py:66-75 —
+# PDCNet+'s confidence comes from a TRAINED head; this trains ours)
+# ---------------------------------------------------------------------------
+
+def uncertainty_nll_loss(log_b_low, flow_up, flow_gt, valid):
+    """Laplace negative log-likelihood of the FLOW ERROR under the
+    head's predicted per-pixel scale.
+
+    log_b_low [N,H/8,W/8] (head output), flow_up/flow_gt [N,H,W,2],
+    valid [N,H,W]. The scale upsamples bilinearly to full res exactly
+    like inference (models/flowconf.py:learned_confidence), so training
+    and serving see the same parameterization. Returns (nll, metrics)
+    where metrics include the error/scale correlation — the statistic
+    the calibration study tracks.
+    """
+    n, h, w = flow_up.shape[0], flow_up.shape[1], flow_up.shape[2]
+    log_b = jax.image.resize(log_b_low, (n, h, w), method="bilinear")
+    b = jnp.exp(log_b)
+    e_abs = jnp.sum(jnp.abs(flow_up - flow_gt), axis=-1)    # |ex|+|ey|
+    mask = valid >= 0.5
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    nll_map = e_abs / b + 2.0 * log_b + 2.0 * jnp.log(2.0)
+    nll = jnp.sum(nll_map * mask) / denom
+
+    # calibration diagnostic: Pearson correlation between predicted
+    # scale and realized absolute error over valid pixels
+    def masked_corr(a, c):
+        ma = jnp.sum(a * mask) / denom
+        mc = jnp.sum(c * mask) / denom
+        va = jnp.sum((a - ma) ** 2 * mask) / denom
+        vc = jnp.sum((c - mc) ** 2 * mask) / denom
+        cov = jnp.sum((a - ma) * (c - mc) * mask) / denom
+        return cov / jnp.sqrt(va * vc + 1e-12)
+
+    metrics = {"nll": nll, "err_scale_corr": masked_corr(b, e_abs),
+               "mean_b": jnp.sum(b * mask) / denom}
+    return nll, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "iters"))
+def uncertainty_train_step(state: FlowTrainState, raft_params,
+                           cfg: RF.RAFTConfig, tx,
+                           image1, image2, flow_gt, valid, *,
+                           iters: int = 12):
+    """One head-only optimization step: RAFT runs frozen (its features
+    and predictions are stop-gradiented) and only the uncertainty-head
+    params in ``state`` update — the PDCNet+ recipe of training the
+    uncertainty decoder on a frozen matching network."""
+    from ..models import flowconf as FC
+
+    flow_low, flow_up, net = RF.raft_apply(
+        raft_params, cfg, image1, image2, iters=iters, with_features=True)
+    flow_low = jax.lax.stop_gradient(flow_low)
+    flow_up = jax.lax.stop_gradient(flow_up)
+    net = jax.lax.stop_gradient(net)
+
+    def loss_fn(head_params):
+        log_b = FC.uncertainty_head_apply(head_params, net, flow_low)
+        return uncertainty_nll_loss(log_b, flow_up, flow_gt, valid)
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return FlowTrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), loss, metrics

