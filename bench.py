@@ -93,9 +93,54 @@ def make_frame_step(unet_p, ucfg, vae_p, vcfg):
                             cfg_dedup=True)
         return jnp.clip(V.decode(vae_p, vcfg, out), -1, 1)
 
-    jitted = jax.jit(frame_step)
-    return lambda img, ctx_c, ctx_u, rng: jitted(unet_p, vae_p, img,
-                                                 ctx_c, ctx_u, rng)
+    return frame_step
+
+
+def measure_frames(raw_fn, unet_p, vae_p, batch, dtype, *, lo=1, hi=3,
+                   trials=3):
+    """Honest frames/s through the axon tunnel: chain ``n`` frame steps
+    IN one compiled program (fori_loop, each frame's output feeds the
+    next frame's input so nothing can be elided or overlapped), read
+    back a scalar, and difference t(hi)-t(lo) — per-dispatch tunnel
+    overhead (~165ms) and the scalar readback cancel exactly.
+    block_until_ready does NOT block through the tunnel, so a plain
+    timed call measures dispatch, not the chip. Returns frames/s."""
+    import functools
+
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def chained(n, up, vp, img, ctx_c, ctx_u, rng):
+        def body(i, im):
+            out = raw_fn(up, vp, im, ctx_c, ctx_u,
+                         jax.random.fold_in(rng, i))
+            return out.astype(im.dtype)
+        final = lax.fori_loop(0, n, body, img)
+        return jnp.sum(final.astype(jnp.float32))
+
+    key = jax.random.PRNGKey(1)
+    img = jnp.zeros((batch, H, W, 3), dtype)
+    ctx = jnp.zeros((batch, 231, 768), dtype)
+    t0 = time.perf_counter()
+    jax.device_get(chained(lo, unet_p, vae_p, img, ctx, ctx, key))
+    print(f"# batch {batch}: compile+run {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    jax.device_get(chained(hi, unet_p, vae_p, img, ctx, ctx, key))
+    # the tunnel chip is SHARED: take the min of several trials per
+    # point (the minimum estimates the uncontended rate), then
+    # difference the two minima
+    t_lo = t_hi = float("inf")
+    for trial in range(trials):
+        k = jax.random.fold_in(key, trial)
+        t0 = time.perf_counter()
+        jax.device_get(chained(lo, unet_p, vae_p, img, ctx, ctx, k))
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.device_get(chained(hi, unet_p, vae_p, img, ctx, ctx, k))
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    if t_hi <= t_lo:
+        return 0.0
+    return batch * (hi - lo) / (t_hi - t_lo)
 
 
 def make_frame_step_dpmpp(unet_p, ucfg, vae_p, vcfg, steps=10):
@@ -131,9 +176,7 @@ def make_frame_step_dpmpp(unet_p, ucfg, vae_p, vcfg, steps=10):
                               cfg_scale=7.0, rng=rng)
         return jnp.clip(V.decode(vae_p, vcfg, out), -1, 1)
 
-    jitted = jax.jit(frame_step)
-    return lambda img, ctx_c, ctx_u, rng: jitted(unet_p, vae_p, img,
-                                                 ctx_c, ctx_u, rng)
+    return frame_step
 
 
 def probe_delivered_tfs():
@@ -291,41 +334,42 @@ def main():
             "vs_baseline": round(best_fps / NORTH_STAR_FPS, 4),
         }))
         return
-    maker = make_frame_step if mode == "scan" else make_frame_step_loop
-    fn = maker(unet_p, ucfg, vae_p, vcfg)
+    if mode == "loop":
+        return _main_loop_mode(unet_p, ucfg, vae_p, vcfg, dtype, backend)
 
+    raw = make_frame_step(unet_p, ucfg, vae_p, vcfg)
     batches = [int(b) for b in
-               os.environ.get("BENCH_BATCHES", "1,4,8,16").split(",")] \
+               os.environ.get("BENCH_BATCHES", "1,8,16").split(",")] \
         if backend == "tpu" else [1]
     best_fps, best_batch = 0.0, 0
-    key = jax.random.PRNGKey(1)
     for batch in batches:
         try:
-            img = jnp.zeros((batch, H, W, 3), dtype)
-            ctx = jnp.zeros((batch, 231, 768), dtype)
-            t0 = time.perf_counter()
-            out = fn(img, ctx, ctx, key)
-            out.block_until_ready()
-            print(f"# batch {batch}: compile+run "
-                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-            # The tunnel TPU is SHARED: co-tenant load has been measured
-            # to inflate a call up to ~5x for a minute at a time. Take
-            # the best of several short trials — the minimum estimates
-            # the uncontended per-call time.
-            trials = 3 if backend == "tpu" else 1
-            dt = float("inf")
-            for trial in range(trials):
-                t0 = time.perf_counter()
-                out = fn(img, ctx, ctx, jax.random.fold_in(key, trial))
-                out.block_until_ready()
-                dt = min(dt, time.perf_counter() - t0)
-            fps = batch / dt
-            print(f"# batch {batch}: {dt:.3f}s/call = {fps:.3f} fps",
-                  file=sys.stderr)
+            fps = measure_frames(raw, unet_p, vae_p, batch, dtype)
+            print(f"# batch {batch}: {fps:.3f} fps (chained in-program "
+                  "differencing)", file=sys.stderr, flush=True)
             if fps > best_fps:
                 best_fps, best_batch = fps, batch
         except Exception as e:  # noqa: BLE001 — report what we have
             print(f"# bench batch={batch} failed: {e}", file=sys.stderr)
+    extra = {}
+    if best_fps > 0.0 and backend == "tpu":
+        # secondary headline: DPM++(2M) 10-step (exact per-sampler math
+        # at half the DDIM step count) at the best DDIM batch; plus the
+        # chip's delivered matmul rate so cross-round f/s numbers on
+        # the shared chip are comparable
+        try:
+            raw_dpm = make_frame_step_dpmpp(unet_p, ucfg, vae_p, vcfg)
+            fps_dpm = measure_frames(raw_dpm, unet_p, vae_p, best_batch,
+                                     dtype)
+            extra["dpmpp10_fps"] = round(fps_dpm, 4)
+            print(f"# dpmpp 10-step batch {best_batch}: {fps_dpm:.3f} "
+                  "fps", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"# dpmpp bench failed: {e}", file=sys.stderr)
+        try:
+            extra["delivered_tfs_bf16"] = round(probe_delivered_tfs(), 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"# tf/s probe failed: {e}", file=sys.stderr)
     if best_fps == 0.0:
         # every fused-program batch failed (flaky remote-compile tunnel):
         # fall back to the known-good step mode so the run still yields a
@@ -348,6 +392,42 @@ def main():
                   f"CFG 7, bf16, batch={best_batch}, {backend})")
     print(json.dumps({
         "metric": metric,
+        "value": round(best_fps, 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(best_fps / NORTH_STAR_FPS, 4),
+        **extra,
+    }))
+
+
+def _main_loop_mode(unet_p, ucfg, vae_p, vcfg, dtype, backend):
+    """Legacy per-call loop-mode bench (BENCH_MODE=loop): python-level
+    step loop, block_until_ready timing. Kept as a fallback for
+    environments where the chained fori program cannot compile; its
+    timing is dispatch-polluted on the axon tunnel."""
+    fn = make_frame_step_loop(unet_p, ucfg, vae_p, vcfg)
+    key = jax.random.PRNGKey(1)
+    best_fps, best_batch = 0.0, 0
+    for batch in ([1, 8] if backend == "tpu" else [1]):
+        try:
+            img = jnp.zeros((batch, H, W, 3), dtype)
+            ctx = jnp.zeros((batch, 231, 768), dtype)
+            out = fn(img, ctx, ctx, key)
+            out.block_until_ready()
+            dt = float("inf")
+            for trial in range(3):
+                t0 = time.perf_counter()
+                out = fn(img, ctx, ctx, jax.random.fold_in(key, trial))
+                out.block_until_ready()
+                dt = min(dt, time.perf_counter() - t0)
+            fps = batch / dt
+            if fps > best_fps:
+                best_fps, best_batch = fps, batch
+        except Exception as e:  # noqa: BLE001
+            print(f"# loop batch={batch} failed: {e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": ("stabilized 512x768 frames/s/chip (20-step img2img, "
+                   f"CFG 7, bf16, batch={best_batch}, {backend}, "
+                   "loop mode)"),
         "value": round(best_fps, 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(best_fps / NORTH_STAR_FPS, 4),

@@ -445,6 +445,7 @@ def flash_attention_tpv(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
     )(qf, kf, vt)
 
     out = out_t[:, :, :nq].reshape(b, h, d, nq).transpose(0, 3, 1, 2)
@@ -867,6 +868,29 @@ def _fad_bwd(res, g):
 flash_attention_diff.defvjp(_fad_fwd, _fad_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def shortk_attention(q, k, v, block_q, block_k):
+    """Short-K attention via the transposed-PV kernel with the whole
+    K/V resident in one kv block (cross-attention to a 231-token
+    prompt). Differentiable: the backward recomputes through
+    :func:`xla_attention` — at short K the score tensor is small, so
+    the XLA backward is cheap and exact to kernel-parity tolerance."""
+    return flash_attention_tpv(q, k, v, block_q=block_q, block_k=block_k)
+
+
+def _shortk_fwd(q, k, v, block_q, block_k):
+    return shortk_attention(q, k, v, block_q, block_k), (q, k, v)
+
+
+def _shortk_bwd(block_q, block_k, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(xla_attention, q, k, v)
+    return vjp(g)
+
+
+shortk_attention.defvjp(_shortk_fwd, _shortk_bwd)
+
+
 def attention_injected(q, k, v, *, n_own: int, n_uncond: int,
                        use_flash: bool | None = None):
     """Attention for the CFG KV-injection path: the first ``n_uncond``
@@ -909,16 +933,26 @@ def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
         # proved to be the remote-compile payload bug (params baked as
         # closure constants), not the kernel. SDAOF_FLASH=0 disables.
         on_tpu = jax.default_backend() == "tpu"
-        # BOTH sequence axes must be long: with short K (cross-attention
-        # to a 231-token prompt) the kernel is grid-overhead-bound and
-        # XLA's materialized path is ~6x faster (0.065ms vs 0.42ms at
-        # 6144x231 on v5e — the f32 score tensor is only ~91MB there).
-        # >=1536 on both axes: measured crossover on v5e — flash 0.183ms
-        # vs XLA 0.455ms at 1536 tokens, but XLA 0.035ms vs flash 1.17ms
-        # at 384 (grid overhead dominates small tiles)
-        use_flash = (on_tpu and bias is None and q.shape[1] >= 1536
-                     and k.shape[1] >= 1536
-                     and os.environ.get("SDAOF_FLASH", "1") != "0")
+        flash_env = os.environ.get("SDAOF_FLASH", "1") != "0"
+        nq, nk = q.shape[1], k.shape[1]
+        if (on_tpu and bias is None and flash_env and nq >= 1536
+                and nk <= 512 and q.shape[-1] <= 128):
+            # short-K cross-attention (231-token prompt): ONE kv block
+            # resident per program, large q tiles. Round 2 measured "no
+            # win" for short-K kernels with the dispatch-smeared timer;
+            # the honest in-program differencing timer says tpv wins
+            # big here: 3.01 -> 1.06 ms at 6144x231 CFG-16 (L0), 0.77 ->
+            # ~0.05 ms at 1536x231 (L1) — XLA's materialized-score path
+            # pays HBM round-trips the kernel keeps in VMEM.
+            return shortk_attention(
+                q, k, v, min(3072, pl.cdiv(nq, 8) * 8),
+                max(128, pl.cdiv(nk, 128) * 128))
+        # self-attention / long-K: BOTH sequence axes long. >=1536 on
+        # both axes: measured crossover on v5e — flash 0.183ms vs XLA
+        # 0.455ms at 1536 tokens, but XLA 0.035ms vs flash 1.17ms at
+        # 384 (grid overhead dominates small tiles)
+        use_flash = (on_tpu and bias is None and nq >= 1536
+                     and nk >= 1536 and flash_env)
     if use_flash and bias is None:
         import os
         d = q.shape[-1]

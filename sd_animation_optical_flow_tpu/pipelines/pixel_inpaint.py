@@ -61,6 +61,8 @@ class PixelInpaintConfig:
     # independent; outputs stay bitwise-equal to sequential fixed-seed
     # runs via noise tiling). TPU throughput knob; use run_batched().
     frame_batch: int = 1
+    # flow pairs per RAFT program (HBM cap — see _dispatch_batch_flow)
+    flow_chunk: int = 4
     # >0: shard the frame batch over a dp-axis mesh of this many devices
     # (SURVEY §2.7 data-parallel row). Only meaningful with
     # frame_batch > 1 and run_batched(); frame_batch % dp must be 0.
@@ -277,21 +279,36 @@ def run_video(video_path: str, save_dir: str, sd, sd_inpaint,
 # batched segment mode (TPU throughput shape; no reference counterpart)
 # ---------------------------------------------------------------------------
 
-def _dispatch_batch_flow(batch, reference_frame, flow_estimator):
+def _dispatch_batch_flow(batch, reference_frame, flow_estimator,
+                         flow_chunk: int = 4):
     """Async flow dispatch for a batch (device arrays, no host sync) —
     lets the next batch's flow overlap the current batch's denoise.
 
     Transfer economy: the axon link runs ~80 MB/s with ~40ms RTT, so
     frames ship ONCE as uint8 (4x smaller than f32) and every layout /
     dtype conversion happens on-device; the returned device frames are
-    reused by the inpaint stage (no second upload)."""
+    reused by the inpaint stage (no second upload).
+
+    HBM economy: the batched RAFT program's all-pairs correlation +
+    lookup intermediates cost ~GB/pair at 512x768 (DECISIONS.md HBM
+    budget); dispatching the whole frame batch as ONE program next to
+    the resident 5-model bundle OOMs a v5e at frame_batch 8. The flow
+    runs in ``flow_chunk``-pair programs instead (still async — chunk
+    programs queue back-to-back; peak temp memory is one chunk's)."""
     frames_u8_d = jnp.asarray(np.stack([f for f, _ in batch]))  # u8 BGR
     ref_u8_d = jnp.asarray(reference_frame)                     # u8 BGR
-    tgt = frames_u8_d[..., ::-1].astype(jnp.float32)
-    src = jnp.broadcast_to(ref_u8_d[None, ..., ::-1].astype(jnp.float32),
-                           tgt.shape)
-    flow_d, conf_d, _ = flow_estimator.calc_batch_device(src, tgt)
-    return flow_d, conf_d, frames_u8_d
+    flows, confs = [], []
+    for s in range(0, len(batch), max(flow_chunk, 1)):
+        tgt = frames_u8_d[s:s + flow_chunk, ..., ::-1].astype(jnp.float32)
+        src = jnp.broadcast_to(
+            ref_u8_d[None, ..., ::-1].astype(jnp.float32), tgt.shape)
+        flow_d, conf_d, _ = flow_estimator.calc_batch_device(src, tgt)
+        flows.append(flow_d)
+        confs.append(conf_d)
+    if len(flows) == 1:
+        return flows[0], confs[0], frames_u8_d
+    return (jnp.concatenate(flows, axis=0),
+            jnp.concatenate(confs, axis=0), frames_u8_d)
 
 
 def _process_batch(batch, flow_pair, out_dir, reference_frame,
@@ -394,7 +411,8 @@ def run_batched(frames: Iterable[Tuple[np.ndarray, bool, int]],
         if not pending:
             return
         new = (pending, _dispatch_batch_flow(pending, reference_frame,
-                                             flow_estimator))
+                                             flow_estimator,
+                                             cfg.flow_chunk))
         pending = []
         process_inflight()
         inflight = new

@@ -186,3 +186,36 @@ def test_flash_diff_value_and_grad_bf16_runs(np_rng):
     for g in grads:
         assert g.dtype == jnp.bfloat16
         assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_shortk_tpv_matches_xla(np_rng):
+    """Short-K cross-attention route (one resident kv block in the
+    transposed-PV kernel, routed by attention() for prompt-length K on
+    TPU): parity vs XLA attention incl. a non-128-divisible K length
+    (231-token prompt -> padded, masked)."""
+    for nk in (37, 128):
+        q, k, v = _rand_qkv(np_rng, b=2, nq=128, nk=nk, h=2, d=16)
+        qj, kj, vj = map(jnp.asarray, (q, k, v))
+        out = A.shortk_attention(qj, kj, vj, 64, 128)
+        ref = A.xla_attention(qj, kj, vj)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_shortk_tpv_grads_match_xla(np_rng):
+    q, k, v = _rand_qkv(np_rng, b=1, nq=64, nk=37, h=2, d=16)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    w = jnp.asarray(np_rng.standard_normal((1, 64, 2, 16)).astype(np.float32))
+
+    def loss_shortk(q, k, v):
+        return jnp.sum(A.shortk_attention(q, k, v, 64, 64) * w)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(A.xla_attention(q, k, v) * w)
+
+    g_s = jax.grad(loss_shortk, argnums=(0, 1, 2))(qj, kj, vj)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(qj, kj, vj)
+    for gs, gx, name in zip(g_s, g_x, "qkv"):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gx),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"d{name} mismatch")
