@@ -44,6 +44,17 @@ def _add_common(p):
                         "(~0.8GB/pair at 512x768) so larger --flow-batch "
                         "fits next to the resident models")
     p.add_argument("--raft-ckpt", default=None, help="raft-things weights")
+    p.add_argument("--flow-uncertainty", default="fb",
+                   choices=["fb", "learned", "min"],
+                   help="confidence source: forward-backward consistency "
+                        "(fb, analytic), the trained Laplace-scale "
+                        "uncertainty decoder (learned — the PDCNet+ "
+                        "trained-head analog, pdcnet_of.py:66-75), or "
+                        "the elementwise min of both")
+    p.add_argument("--uncertainty-head", default=None,
+                   help="trained uncertainty-decoder params "
+                        "(utils.checkpoint.save_pytree file; required "
+                        "for --flow-uncertainty learned/min)")
     p.add_argument("--tagger-model", default=None, help="WD tagger .onnx")
     p.add_argument("--tagger-tags", default=None, help="selected_tags.csv")
     p.add_argument("--width", type=int, default=512)
@@ -73,7 +84,19 @@ def _build_models(args):
     sd9 = C.create_model(args.inpaint_spec, args.inpaint_ckpt, dtype=dtype)
 
     fcfg = FC.FlowConfidenceConfig(raft=RF.RAFTConfig(
-        iters=args.flow_iters, corr_dtype=args.flow_corr_dtype))
+        iters=args.flow_iters, corr_dtype=args.flow_corr_dtype),
+        uncertainty=args.flow_uncertainty)
+    head_p = None
+    if args.flow_uncertainty != "fb":
+        if not args.uncertainty_head:
+            raise SystemExit("--flow-uncertainty learned/min needs "
+                             "--uncertainty-head params")
+        from .models.layers import numpy_init
+        from .utils.checkpoint import load_pytree
+        with numpy_init():
+            like = FC.uncertainty_head_init(
+                jax.random.PRNGKey(0), fcfg.raft.hidden_dim)
+        head_p = load_pytree(args.uncertainty_head, like)
     if args.raft_ckpt:
         from .utils.port_weights import load_state_dict, port_raft
         raft_p, _ = port_raft(load_state_dict(args.raft_ckpt))
@@ -84,7 +107,7 @@ def _build_models(args):
             raft_p = RF.raft_init(jax.random.PRNGKey(0), fcfg.raft)
         print("[cli] no --raft-ckpt: flow estimator runs with random "
               "weights (smoke mode)")
-    flow_est = FC.FlowConfidenceEstimator(raft_p, fcfg)
+    flow_est = FC.FlowConfidenceEstimator(raft_p, fcfg, head_params=head_p)
     tagger = Tagger(args.tagger_model, args.tagger_tags)
     if not tagger.available:
         print("[cli] tagger unavailable; using fixed prompt prefix")

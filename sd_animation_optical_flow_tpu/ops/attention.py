@@ -963,8 +963,10 @@ def attention(q, k, v, *, bias=None, use_flash: bool | None = None):
             # over the 16MB scoped-vmem limit. The tracked-max kernel's
             # per-block [block_q, d] accumulator is what scales here,
             # and d is already lane-aligned so tpv's unpadded-d win is
-            # moot.
-            return flash_attention(q, k, v)
+            # moot. Blocks shrink with d: the default 512x2048 tiles
+            # hold ~23MB of f32 K/V at d=512 (compile-time scoped-vmem
+            # OOM inside the fused inpaint program).
+            return flash_attention(q, k, v, block_q=512, block_k=512)
         if os.environ.get("SDAOF_SAFE_SOFTMAX", "0") == "1":
             # tracked-max fallback kernel (needs lane-aligned head dim)
             d = q.shape[-1]

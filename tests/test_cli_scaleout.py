@@ -95,3 +95,30 @@ def test_cli_keyframe_inpaint_sp_mesh(tmp_path):
     ])
     ai_dir = os.path.join(out, "ai-frames")
     assert len(os.listdir(ai_dir)) == 6, os.listdir(out)
+
+
+def test_cli_learned_uncertainty(tmp_path):
+    """--flow-uncertainty learned --uncertainty-head <saved params>: the
+    trained-head confidence source is reachable from the CLI (the
+    PDCNet+ trained-decoder analog, pdcnet_of.py:66-75)."""
+    import jax
+
+    from sd_animation_optical_flow_tpu.models import flowconf as FC
+    from sd_animation_optical_flow_tpu.utils.checkpoint import save_pytree
+
+    sd_yaml, sd9_yaml = _write_specs(tmp_path)
+    video = _clip_path(tmp_path)
+    out = str(tmp_path / "out_lu")
+    head = FC.uncertainty_head_init(jax.random.PRNGKey(3), 128)
+    head_path = str(tmp_path / "head.npz")
+    save_pytree(head_path, head)
+    cli.main([
+        "pixel-inpaint", "-i", video, "-o", out,
+        "--spec", sd_yaml, "--inpaint-spec", sd9_yaml,
+        "--width", "64", "--height", "64", "--keep-every", "1",
+        "--ddim-steps", "4", "--flow-iters", "2",
+        "--flow-uncertainty", "learned", "--uncertainty-head", head_path,
+    ])
+    outs = [f for f in os.listdir(out + "_pixel_warp-tpu")
+            if f.startswith("converted_")]
+    assert len(outs) >= 6
