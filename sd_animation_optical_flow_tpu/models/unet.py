@@ -277,6 +277,7 @@ def _geglu_ff(p, x):
     din = x.shape[-1]
     n_rows = x.shape[0] * x.shape[1] if x.ndim == 3 else x.shape[0]
     if (jax.default_backend() == "tpu" and din <= 640 and n_rows >= 4096
+            and x.dtype == jnp.bfloat16
             and os.environ.get("SDAOF_FUSED_FF", "1") != "0"):
         # fused Pallas FF: both matmuls tile-resident, no [*, 8d]/[*, 4d]
         # HBM round-trips (measured v5e CFG-16: 3.11 -> 2.22 ms at

@@ -94,6 +94,10 @@ def geglu_ff_fused(x, w1, b1, w2, b2, *, block_m: int = 512,
     din = x.shape[-1]
     dff = w2.shape[0]
     assert w1.shape == (din, 2 * dff), (w1.shape, din, dff)
+    if jnp.dtype(x.dtype).itemsize >= 4:
+        # f32 activations double every VMEM buffer — halve the row block
+        # to stay inside the 16MB scoped budget
+        block_m = max(min(block_m, 512), block_m // 2)
     m = math.prod(orig_shape[:-1])
     xf = x.reshape(m, din)
 

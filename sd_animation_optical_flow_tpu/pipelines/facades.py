@@ -225,7 +225,11 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
         tile_noise=tile_noise, cfg_dedup=cfg_dedup)
 
     if final_composite and nmask is not None:
-        decoded = init_latent * (1.0 - nmask) + decoded * nmask
+        # cast the mask: f32 nmask would promote the composited latent —
+        # and the whole KV-capture UNet pass below — to f32 (2x cost,
+        # and the fused-FF kernel's VMEM budget is sized for bf16)
+        nm_c = nmask.astype(decoded.dtype)
+        decoded = init_latent * (1.0 - nm_c) + decoded * nm_c
 
     kv_hist = None
     if capture_kv:
