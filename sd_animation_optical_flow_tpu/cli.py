@@ -37,12 +37,13 @@ def _add_common(p):
     p.add_argument("--flow-iters", type=int, default=20,
                    help="RAFT refinement iterations (reference: 20, "
                         "ofgen.py:77)")
-    p.add_argument("--flow-corr-dtype", default="float32",
+    p.add_argument("--flow-corr-dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="storage dtype of the RAFT all-pairs correlation "
                         "pyramid; bfloat16 halves the flow program's HBM "
-                        "(~0.8GB/pair at 512x768) so larger --flow-batch "
-                        "fits next to the resident models")
+                        "(~0.8GB/pair at 512x768) so batch 8 fits next to "
+                        "the resident models (f32 OOMs at 8) and runs 539 "
+                        "vs 716 ms/pair bidir — measured, DECISIONS.md")
     p.add_argument("--raft-ckpt", default=None, help="raft-things weights")
     p.add_argument("--flow-uncertainty", default="fb",
                    choices=["fb", "learned", "min"],
@@ -351,10 +352,10 @@ def main(argv=None):
     p3.add_argument("--mode", default="warp_and_inpaint_crossattn",
                     choices=["warp_and_inpaint", "self_attn", "both",
                              "warp_and_inpaint_crossattn"])
-    p3.add_argument("--flow-batch", type=int, default=4,
+    p3.add_argument("--flow-batch", type=int, default=8,
                     help="pairs per compiled flow program (adaptively "
-                         "halved on compile OOM; raise with "
-                         "--flow-corr-dtype bfloat16)")
+                         "halved on compile OOM; 8 fits with the default "
+                         "bfloat16 corr pyramid, 4 is the f32 ceiling)")
     p3.add_argument("--sp", type=int, default=0,
                     help=">0: sequence-parallel strip denoising over "
                          "this many devices (Ulysses attention; strip "

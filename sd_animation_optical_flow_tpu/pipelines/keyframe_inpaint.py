@@ -517,10 +517,12 @@ class KeyframeInpaintConfig:
     mode: str = "warp_and_inpaint_crossattn"
     # pairs per compiled flow program. The reference batches 16
     # (ofgen_keyframe_inpaint.py:1128); on one v5e the batched fwd+bwd
-    # RAFT costs ~1.6G HBM/pair and shares the chip with ~4G of resident
-    # SD params, so 4 is the largest reliably-fitting chunk (FlowCache
+    # RAFT costs ~1.6G HBM/pair f32 / ~0.8G bf16-corr and shares the
+    # chip with ~4G of resident SD params. With the bf16 corr pyramid
+    # (the CLI default) 8 is the largest reliably-fitting chunk and
+    # runs 539 vs 716 ms/pair bidir; f32 caps at 4-6 (FlowCache
     # additionally halves adaptively on compile OOM)
-    flow_batch: int = 4
+    flow_batch: int = 8
     use_reference_kv: bool = True
     # >1: back-fill each level in chunks of this many frames per
     # compiled program (frames of a level are independent given the

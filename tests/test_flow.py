@@ -169,6 +169,26 @@ def test_calc_batch_bidir_matches_directed(rng):
                                rtol=2e-2, atol=1e-2)
 
 
+def test_raft_bf16_corr_pyramid_close_to_f32(rng):
+    """bf16 corr-pyramid storage (the CLI default: halves the flow
+    program's HBM so flow_batch 8 fits on one v5e next to the resident
+    SD bundle — DECISIONS.md flow-ceiling probe) must not move the
+    refined flow materially: the pyramid feeds the GRU through a
+    bilinear lookup, so ~3 decimal digits of corr precision suffice."""
+    cfg32 = RF.RAFTConfig(iters=4, corr_levels=2, corr_radius=2)
+    cfg16 = RF.RAFTConfig(iters=4, corr_levels=2, corr_radius=2,
+                          corr_dtype="bfloat16")
+    params = RF.raft_init(rng, cfg32)
+    k1, k2 = jax.random.split(rng)
+    img1 = jax.random.uniform(k1, (1, 32, 48, 3)) * 255
+    img2 = jnp.roll(img1, 2, axis=2)
+    _, f32_up = RF.raft_apply(params, cfg32, img1, img2)
+    _, bf_up = RF.raft_apply(params, cfg16, img1, img2)
+    err = float(jnp.abs(f32_up - bf_up).max())
+    span = float(jnp.abs(f32_up).max())
+    assert err <= 0.05 * max(span, 1.0), (err, span)
+
+
 def test_forward_interpolate_identity_for_zero_flow():
     from sd_animation_optical_flow_tpu.models.raft import forward_interpolate
     flow = np.zeros((8, 10, 2), np.float32)
