@@ -197,7 +197,7 @@ def probe_delivered_tfs():
     def run(a, b, iters):
         def body(i, z):
             c = (a + z.astype(a.dtype) * 1e-6) @ b
-            return jnp.max(jnp.abs(c)) * 1e-6
+            return (jnp.max(jnp.abs(c)) * 1e-6).astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     lo, hi = 2, 12

@@ -43,10 +43,18 @@ def _unpack_fn(metas: tuple):
     return jax.jit(unpack, donate_argnums=0)
 
 
-def device_put_tree_packed(tree, device=None):
+def device_put_tree_packed(tree, device=None, force=False):
     """Place a pytree of host arrays on ``device`` with one transfer
     per dtype instead of one per leaf. Returns the same pytree with
-    device-resident leaves."""
+    device-resident leaves.
+
+    ``force=True`` drains the transfer + split before returning (one
+    tiny host pull per dtype group — ``block_until_ready`` does NOT
+    block through the axon tunnel). Without it the multi-GB upload is
+    ASYNC and its cost lands on whatever program runs next: measured
+    ~200s of a 4-model SD bundle draining inside the first flow
+    dispatch of the keyframe pipeline, mis-attributed to the flow
+    phase (DECISIONS.md round-3 upload-drain entry)."""
     leaves, treedef = jax.tree.flatten(tree)
     if device is None:
         device = jax.devices()[0]
@@ -73,4 +81,17 @@ def device_put_tree_packed(tree, device=None):
         unpacked = _unpack_fn(tuple(metas))(dflat)
         for i, arr in zip(idxs, unpacked):
             out[i] = arr
+        if force:
+            # forcing one output of the split program executes the whole
+            # program, which forces the packed transfer it consumes
+            probe = next((u for u in reversed(unpacked) if u.size), None)
+            if probe is not None:
+                np.asarray(jax.device_get(probe.ravel()[0]))
+    if force:
+        for dt, idxs in groups.items():
+            total = sum(host[i].size for i in idxs)
+            if total == 0 or len(idxs) == 1:
+                for i in idxs:
+                    if host[i].size:
+                        np.asarray(jax.device_get(out[i].ravel()[0]))
     return jax.tree.unflatten(treedef, out)

@@ -202,3 +202,24 @@ def test_cli_port_writes_pytrees(tmp_path):
     sd = C.create_model(str(spec))
     loaded = CK.load_pytree(str(out / "unet.npz"), sd.unet_params)
     assert jax.tree.structure(loaded) == jax.tree.structure(sd.unet_params)
+
+
+def test_device_put_tree_packed_force_roundtrip():
+    """Packed upload (one transfer per dtype + on-device split) must
+    reproduce every leaf; force=True drains the async transfer before
+    returning (needed for honest phase timing through the axon tunnel,
+    where block_until_ready does not block — DECISIONS.md round-3
+    upload-drain entry)."""
+    import numpy as np
+    from sd_animation_optical_flow_tpu.utils.staging import \
+        device_put_tree_packed
+    tree = {"a": np.arange(12, dtype=np.float32).reshape(3, 4),
+            "b": np.full((5,), 2.5, np.float32),
+            "empty": np.zeros((0,), np.float32),
+            "ints": np.arange(3, dtype=np.int32),
+            "single_dtype": np.ones((2, 2), np.uint8)}
+    for force in (False, True):
+        out = device_put_tree_packed(tree, force=force)
+        for k in tree:
+            np.testing.assert_array_equal(np.asarray(out[k]), tree[k])
+            assert out[k].dtype == tree[k].dtype
