@@ -36,7 +36,9 @@ from sd_animation_optical_flow_tpu.utils.staging import device_put_tree_packed
 
 
 def cast_put(p):
-    return device_put_tree_packed(cast_tree(p, DT), dev)
+    # force=True: drain the async upload inside init so phase timings
+    # below measure the pipeline, not the param transfer
+    return device_put_tree_packed(cast_tree(p, DT), dev, force=True)
 
 t0 = time.time()
 with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
@@ -49,7 +51,8 @@ with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
     unet_p = U.unet_init(k[1], ucfg)
     unet9_p = U.unet_init(k[2], ucfg9)
     clip_p = CL.clip_text_init(k[3], ccfg)
-    fcfg = FC.FlowConfidenceConfig()
+    fcfg = FC.FlowConfidenceConfig(raft=RF.RAFTConfig(
+        corr_dtype=os.environ.get("CORR_DTYPE", "bfloat16")))
     raft_p = RF.raft_init(k[4], fcfg.raft)
 tok = PromptTokenizer(hf_name_or_path=None)
 sd = F.StableDiffusionBundle(
@@ -74,7 +77,8 @@ video = KI.VideoWorkspace(WS, frames=frames, size=(W, H), keep_every=3)
 print(f"# workspace: {video.num_frames} frames", flush=True)
 
 cfg = KI.KeyframeInpaintConfig(size=(W, H), mode=MODE,
-                               level_batch=LEVEL_BATCH)
+                               level_batch=LEVEL_BATCH,
+                               flow_batch=int(os.environ.get("FB", "8")))
 
 # phase instrumentation
 phases = {}
@@ -84,6 +88,12 @@ def timed_conv(*a, **kw):
     phases["pairwise_flow+conv"] = phases.get("pairwise_flow+conv", 0) + (time.time() - t)
     return r
 KI.keyframe_conv = timed_conv
+_orig_gwr = KI.generate_with_refs
+def timed_gwr(*a, **kw):
+    t = time.time(); r = _orig_gwr(*a, **kw)
+    print(f"# frame gen {time.time()-t:.1f}s", flush=True)
+    return r
+KI.generate_with_refs = timed_gwr
 _orig_seed = KI.generate_seed_frames
 def timed_seed(*a, **kw):
     t = time.time(); r = _orig_seed(*a, **kw)
