@@ -83,11 +83,15 @@ def dpmpp_2m_decode(
         h = lam[i + 1] - lam[i]
         h_prev = lam[i] - lam[jnp.maximum(i - 1, 0)]
         r = h_prev / jnp.where(h == 0, 1.0, h)
-        # 2M correction only when a previous x0 exists and r is sane
+        # 2M correction only when a previous x0 exists and r is sane.
+        # Combine in f32 (r spans decades) and cast back so the scan
+        # carry keeps x's dtype under bf16 inference.
         use2 = has_prev & (jnp.abs(r) > 1e-5)
+        x0f = x0.astype(jnp.float32)
         d = jnp.where(use2,
-                      (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * x0_prev,
-                      x0)
+                      (1 + 1 / (2 * r)) * x0f
+                      - (1 / (2 * r)) * x0_prev.astype(jnp.float32),
+                      x0f).astype(x.dtype)
         x_next = (sigma[i + 1] / sigma[i]).astype(x.dtype) * x \
             - (alpha[i + 1] * jnp.expm1(-h)).astype(x.dtype) * d
         return (x_next, x0, jnp.asarray(True)), None

@@ -483,3 +483,26 @@ def test_deepcache_interval_one_matches_plain(rng):
     rel = np.abs(a2 - np.asarray(plain)).mean() / \
         (np.abs(np.asarray(plain)).mean() + 1e-6)
     assert rel < 0.5, rel
+
+
+def test_dpmpp_bf16_carry_dtype_stable():
+    """bf16 regression: the 2M correction mixes f32 log-SNR coefficients
+    with the latent; under bf16 inference that promoted the scan carry
+    to f32 and broke tracing (found by bench.py's dpmpp secondary
+    headline on TPU). The combination must stay in f32 internally but
+    return the carry in x.dtype."""
+    from sd_animation_optical_flow_tpu.diffusion.dpm_solver import (
+        dpmpp_2m_decode, uniform_timesteps_desc)
+
+    sched = S.make_linear_schedule()
+    dts = uniform_timesteps_desc(sched, 400, 6)
+    x = jnp.ones((2, 4, 4, 3), jnp.bfloat16) * 0.3
+
+    def model(z, ts, ctx, control=None):
+        return (z * 0.1).astype(z.dtype)
+
+    cond = D.CondBundle(crossattn=jnp.ones((2, 3, 8), jnp.bfloat16))
+    out = dpmpp_2m_decode(model, sched, dts, x, cond, cond,
+                          cfg_scale=2.0)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
