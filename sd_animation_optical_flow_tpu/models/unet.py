@@ -273,6 +273,27 @@ def _cross_attention(p, x, context, n_heads):
     return linear(p["to_out"], _merge_heads(out))
 
 
+def _ff_tail(p, x):
+    """The transformer-block tail ``x + FF(LN3(x))``.
+
+    On the fused TPU route the LayerNorm and the residual add ride
+    inside the GEGLU kernel (one HBM pass over x instead of four);
+    elsewhere it is the plain composition."""
+    din = x.shape[-1]
+    n_rows = x.shape[0] * x.shape[1] if x.ndim == 3 else x.shape[0]
+    if (jax.default_backend() == "tpu" and din <= 640 and n_rows >= 4096
+            and x.dtype == jnp.bfloat16
+            and os.environ.get("SDAOF_FUSED_FF", "1") != "0"):
+        from ..ops.ffn import geglu_ff_fused
+        return geglu_ff_fused(x, p["ff_proj"]["w"], p["ff_proj"]["b"],
+                              p["ff_out"]["w"], p["ff_out"]["b"],
+                              p["norm3"]["scale"], p["norm3"]["bias"],
+                              residual=True,
+                              block_m=1024 if din <= 320 else 512,
+                              block_ff=4 * din)
+    return x + _geglu_ff(p, layer_norm(p["norm3"], x))
+
+
 def _geglu_ff(p, x):
     din = x.shape[-1]
     n_rows = x.shape[0] * x.shape[1] if x.ndim == 3 else x.shape[0]
@@ -330,7 +351,7 @@ def _spatial_transformer(p, x, context, n_heads, ref_kv, attn_bias=None,
             expand = False
         x = x + _cross_attention(blk["attn2"], layer_norm(blk["norm2"], x),
                                  context, n_heads)
-        x = x + _geglu_ff(blk, layer_norm(blk["norm3"], x))
+        x = _ff_tail(blk, x)
     x = x.reshape(b, h, w, c)
     x = conv2d(p["proj_out"], x)
     return x + res, kvs

@@ -52,7 +52,8 @@ def _gelu_exact(x):
 
 
 def _geglu_kernel(x_ref, w1a_ref, w1b_ref, b1a_ref, b1b_ref, w2_ref,
-                  b2_ref, o_ref, acc_ref, *, out_dtype):
+                  b2_ref, o_ref, acc_ref, *, out_dtype, ln_eps=None,
+                  lns_ref=None, lnb_ref=None, residual=False):
     ff_idx = pl.program_id(1)
 
     @pl.when(ff_idx == 0)
@@ -60,12 +61,26 @@ def _geglu_kernel(x_ref, w1a_ref, w1b_ref, b1a_ref, b1b_ref, w2_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]                                   # [bm, din]
+    if ln_eps is not None:
+        # LayerNorm prologue: x arrives RAW; the separate LN pass this
+        # absorbs costs a full HBM read+write of the activation at
+        # every transformer block. f32 stats + affine, rounded back to
+        # the input dtype — bit-matches layers.layer_norm. Recomputed
+        # per ff chunk, but both UNet call sites run one chunk.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+        xf = xf * lns_ref[...] + lnb_ref[...]
+        xn = xf.astype(x.dtype)
+    else:
+        xn = x
     # both matmuls accumulate f32 on the MXU; the bf16 round of h/g
     # before the gelu matches XLA's linear() output dtype exactly
-    h = jax.lax.dot_general(x, w1a_ref[...], (((1,), (0,)), ((), ())),
+    h = jax.lax.dot_general(xn, w1a_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = (h.astype(x.dtype) + b1a_ref[...].astype(x.dtype))
-    g = jax.lax.dot_general(x, w1b_ref[...], (((1,), (0,)), ((), ())),
+    g = jax.lax.dot_general(xn, w1b_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     g = (g.astype(x.dtype) + b1b_ref[...].astype(x.dtype))
     hg = (h.astype(jnp.float32) * _gelu_exact(g.astype(jnp.float32))
@@ -76,19 +91,41 @@ def _geglu_kernel(x_ref, w1a_ref, w1b_ref, b1a_ref, b1b_ref, w2_ref,
 
     @pl.when(ff_idx == pl.num_programs(1) - 1)
     def _finalize():
-        o_ref[...] = (acc_ref[:].astype(out_dtype)
-                      + b2_ref[...].astype(out_dtype))
+        out = (acc_ref[:].astype(out_dtype)
+               + b2_ref[...].astype(out_dtype))
+        if residual:
+            # residual-add epilogue: x + FF(LN(x)) in one write — the
+            # raw x block is already VMEM-resident
+            out = x_ref[...].astype(out_dtype) + out
+        o_ref[...] = out
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_ff"))
-def geglu_ff_fused(x, w1, b1, w2, b2, *, block_m: int = 512,
-                   block_ff: int = 1280):
+def _geglu_kernel_ln(x_ref, lns_ref, lnb_ref, w1a_ref, w1b_ref, b1a_ref,
+                     b1b_ref, w2_ref, b2_ref, o_ref, acc_ref, *,
+                     out_dtype, ln_eps, residual):
+    _geglu_kernel(x_ref, w1a_ref, w1b_ref, b1a_ref, b1b_ref, w2_ref,
+                  b2_ref, o_ref, acc_ref, out_dtype=out_dtype,
+                  ln_eps=ln_eps, lns_ref=lns_ref, lnb_ref=lnb_ref,
+                  residual=residual)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_ff",
+                                              "ln_eps", "residual"))
+def geglu_ff_fused(x, w1, b1, w2, b2, ln_scale=None, ln_bias=None, *,
+                   block_m: int = 512, block_ff: int = 1280,
+                   ln_eps: float = 1e-5, residual: bool = False):
     """x [..., din] @ w1 [din, 2*dff] -> geglu -> @ w2 [dff, din].
 
     Returns the same value as the unfused
     ``linear(w1) -> split -> x*gelu(gate) -> linear(w2)`` chain to bf16
     rounding. Rows are padded to ``block_m``; dff must divide
     ``block_ff`` or vice versa (the grid chunks dff).
+
+    With ``ln_scale``/``ln_bias`` the kernel applies LayerNorm to x
+    first (f32 stats, matching layers.layer_norm), and with
+    ``residual=True`` it adds the RAW x to the output — i.e. the whole
+    transformer-block tail ``x + FF(LN(x))`` in one pass over HBM
+    instead of four (LN write+read, FF out write, residual read).
     """
     orig_shape = x.shape
     din = x.shape[-1]
@@ -114,24 +151,39 @@ def geglu_ff_fused(x, w1, b1, w2, b2, *, block_m: int = 512,
     b2r = b2.reshape(1, din)
 
     grid = (m_p // block_m, dff // block_ff)
+    ln = ln_scale is not None
+    w_specs = [
+        pl.BlockSpec((din, block_ff), lambda i, j: (0, j)),
+        pl.BlockSpec((din, block_ff), lambda i, j: (0, j)),
+        pl.BlockSpec((1, block_ff), lambda i, j: (0, j)),
+        pl.BlockSpec((1, block_ff), lambda i, j: (0, j)),
+        pl.BlockSpec((block_ff, din), lambda i, j: (j, 0)),
+        pl.BlockSpec((1, din), lambda i, j: (0, 0)),
+    ]
+    x_spec = pl.BlockSpec((block_m, din), lambda i, j: (i, 0))
+    if ln:
+        kern = functools.partial(_geglu_kernel_ln, out_dtype=x.dtype,
+                                 ln_eps=ln_eps, residual=residual)
+        ln_spec = pl.BlockSpec((1, din), lambda i, j: (0, 0))
+        in_specs = [x_spec, ln_spec, ln_spec] + w_specs
+        inputs = (xf, ln_scale.astype(jnp.float32).reshape(1, din),
+                  ln_bias.astype(jnp.float32).reshape(1, din),
+                  w1a, w1b, b1a, b1b, w2, b2r)
+    else:
+        kern = functools.partial(_geglu_kernel, out_dtype=x.dtype,
+                                 residual=residual)
+        in_specs = [x_spec] + w_specs
+        inputs = (xf, w1a, w1b, b1a, b1b, w2, b2r)
     out = pl.pallas_call(
-        functools.partial(_geglu_kernel, out_dtype=x.dtype),
+        kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, din), lambda i, j: (i, 0)),
-            pl.BlockSpec((din, block_ff), lambda i, j: (0, j)),
-            pl.BlockSpec((din, block_ff), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_ff), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_ff), lambda i, j: (0, j)),
-            pl.BlockSpec((block_ff, din), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, din), lambda i, j: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, din), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m_p, din), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, din), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=jax.default_backend() != "tpu",
-    )(xf, w1a, w1b, b1a, b1b, w2, b2r)
+    )(*inputs)
 
     return out[:m].reshape(orig_shape)

@@ -52,3 +52,33 @@ def test_fused_matches_unfused_bf16_3d(np_rng):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=0.05, atol=0.05)
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xf * scale + bias).astype(x.dtype)
+
+
+@pytest.mark.parametrize("dtype,m,block_ff,tol", [
+    (jnp.float32, 512, 256, 3e-5),    # single ff chunk
+    (jnp.float32, 300, 128, 3e-5),    # chunked ff + padded rows
+    (jnp.bfloat16, 512, 256, 0.05),   # deployment dtype
+])
+def test_fused_ln_residual_matches_chain(np_rng, dtype, m, block_ff, tol):
+    """The whole transformer-block tail x + FF(LN(x)) fused into the
+    kernel (LN prologue + residual epilogue) matches the unfused
+    composition (models/unet._ff_tail fallback path)."""
+    din, dff = 64, 256
+    x = jnp.asarray(np_rng.standard_normal((m, din)), dtype) * 0.5
+    w1, b1, w2, b2 = _params(np_rng, din, dff, dtype)
+    g = jnp.asarray(np_rng.standard_normal((din,)), jnp.float32) * 0.1 + 1.0
+    beta = jnp.asarray(np_rng.standard_normal((din,)), jnp.float32) * 0.1
+    out = geglu_ff_fused(x, w1, b1, w2, b2, g, beta, residual=True,
+                         block_m=256, block_ff=block_ff)
+    ref = x + _unfused(_layer_norm(x, g, beta), w1, b1, w2, b2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol)
