@@ -21,6 +21,7 @@ def run():
 
 out_kern = run()
 os.environ["SDAOF_FLASH"] = "0"; os.environ["SDAOF_FUSED_FF"] = "0"
+os.environ["SDAOF_FUSED_LNPROJ"] = "0"
 jax.clear_caches()
 out_xla = run()
 d = np.abs(out_kern - out_xla)

@@ -167,10 +167,25 @@ def _merge_heads(x):
     return x.reshape(b, n, h * d)
 
 
+def _fused_ln_route(x) -> bool:
+    """Gate for the LN-prologue projection kernels (mirrors _ff_tail's
+    conditions): TPU, bf16, small-enough feature dim, enough rows to
+    fill the row grid."""
+    n_rows = x.shape[0] * x.shape[1] if x.ndim == 3 else x.shape[0]
+    return (jax.default_backend() == "tpu" and x.shape[-1] <= 640
+            and n_rows >= 4096 and x.dtype == jnp.bfloat16
+            and os.environ.get("SDAOF_FUSED_LNPROJ", "1") != "0")
+
+
 def _self_attention(p, x, n_heads, ref_kv, bias=None, strip=None, hw=None,
-                    sp=None):
+                    sp=None, pre_ln=None):
     """Self-attention; returns (out, (k, v)) with k/v of shape [B, N, C]
     (pre-head-split, post-projection) for cross-frame reuse.
+
+    ``pre_ln`` carries the block's norm1 params; on the fused TPU route
+    the LayerNorm rides inside the QKV projection kernel (the LN
+    reduction is a producer XLA won't fuse into a dot, so standalone it
+    costs an HBM round-trip of x per block).
 
     Injection semantics follow attention.py:358-369: if the reference K/V
     batch matches, it replaces self K/V wholesale; if the current batch is
@@ -180,9 +195,18 @@ def _self_attention(p, x, n_heads, ref_kv, bias=None, strip=None, hw=None,
     # one fused [C, 3C] matmul instead of three [C, C]: wider output
     # tiles keep the MXU busy (measured 2.3x at 6144x320 on v5e); the
     # weight concat is a cheap on-chip copy per step
+    if pre_ln is not None and not _fused_ln_route(x):
+        x = layer_norm(pre_ln, x)
+        pre_ln = None
     wqkv = jnp.concatenate([p["to_q"]["w"], p["to_k"]["w"],
                             p["to_v"]["w"]], axis=1).astype(x.dtype)
-    q, k, v = jnp.split(x @ wqkv, 3, axis=-1)
+    if pre_ln is not None:
+        from ..ops.ffn import linear_ln_fused
+        qkv = linear_ln_fused(x, wqkv, pre_ln["scale"], pre_ln["bias"],
+                              block_m=1024 if x.shape[-1] <= 320 else 512)
+    else:
+        qkv = x @ wqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
     captured = (k, v)
 
     if sp is not None:
@@ -262,8 +286,18 @@ def _self_attention(p, x, n_heads, ref_kv, bias=None, strip=None, hw=None,
     return linear(p["to_out"], _merge_heads(out)), captured
 
 
-def _cross_attention(p, x, context, n_heads):
-    q = linear(p["to_q"], x)
+def _cross_attention(p, x, context, n_heads, pre_ln=None):
+    if pre_ln is not None and not _fused_ln_route(x):
+        x = layer_norm(pre_ln, x)
+        pre_ln = None
+    if pre_ln is not None:
+        # LN2 feeds only the Q projection (K/V come from the context)
+        from ..ops.ffn import linear_ln_fused
+        q = linear_ln_fused(x, p["to_q"]["w"].astype(x.dtype),
+                            pre_ln["scale"], pre_ln["bias"],
+                            block_m=1024 if x.shape[-1] <= 320 else 512)
+    else:
+        q = linear(p["to_q"], x)
     # fused [Dctx, 2C] K/V projection (same MXU-width rationale as the
     # self-attention QKV fusion above)
     wkv = jnp.concatenate([p["to_k"]["w"], p["to_v"]["w"]],
@@ -337,9 +371,10 @@ def _spatial_transformer(p, x, context, n_heads, ref_kv, attn_bias=None,
     kvs = []
     expand = cfg_pair is not None
     for blk in p["blocks"]:
-        a1, kv = _self_attention(blk["attn1"], layer_norm(blk["norm1"], x),
+        a1, kv = _self_attention(blk["attn1"], x,
                                  n_heads, ref_kv, bias=attn_bias,
-                                 strip=strip, hw=(h, w), sp=sp)
+                                 strip=strip, hw=(h, w), sp=sp,
+                                 pre_ln=blk["norm1"])
         x = x + a1
         kvs.append(kv)
         if expand:
@@ -349,8 +384,8 @@ def _spatial_transformer(p, x, context, n_heads, ref_kv, attn_bias=None,
             res = jnp.concatenate([res, res], axis=0)
             b = x.shape[0]
             expand = False
-        x = x + _cross_attention(blk["attn2"], layer_norm(blk["norm2"], x),
-                                 context, n_heads)
+        x = x + _cross_attention(blk["attn2"], x, context, n_heads,
+                                 pre_ln=blk["norm2"])
         x = _ff_tail(blk, x)
     x = x.reshape(b, h, w, c)
     x = conv2d(p["proj_out"], x)

@@ -187,3 +187,60 @@ def geglu_ff_fused(x, w1, b1, w2, b2, ln_scale=None, ln_bias=None, *,
     )(*inputs)
 
     return out[:m].reshape(orig_shape)
+
+
+def _linear_ln_kernel(x_ref, lns_ref, lnb_ref, w_ref, o_ref, *, ln_eps):
+    # LN prologue in f32 (bit-matches layers.layer_norm), round to the
+    # activation dtype, then one MXU dot with the whole weight resident
+    x = x_ref[...]
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+    xn = (xf * lns_ref[...] + lnb_ref[...]).astype(x.dtype)
+    y = jax.lax.dot_general(xn, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "ln_eps"))
+def linear_ln_fused(x, w, ln_scale, ln_bias, *, block_m: int = 1024,
+                    ln_eps: float = 1e-5):
+    """``LN(x) @ w`` with the LayerNorm fused into the projection.
+
+    Used for the UNet attention projections (LN1 -> QKV, LN2 -> Q; SD's
+    q/k/v projections carry no bias): the LN reduction is a producer XLA
+    will not fuse into a dot, so the standalone LN costs a full HBM
+    read+write of the activation per transformer block. Here the raw x
+    block is normalized in VMEM and fed straight to the MXU. The whole
+    weight stays resident (dout <= 3*din at these shapes); the grid runs
+    over rows only.
+    """
+    orig_shape = x.shape
+    din = x.shape[-1]
+    dout = w.shape[1]
+    assert w.shape[0] == din, (w.shape, din)
+    if jnp.dtype(x.dtype).itemsize >= 4:
+        block_m = max(min(block_m, 512), block_m // 2)
+    m = math.prod(orig_shape[:-1])
+    xf = x.reshape(m, din)
+    m_p = pl.cdiv(m, block_m) * block_m
+    if m_p != m:
+        xf = jnp.pad(xf, ((0, m_p - m), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_linear_ln_kernel, ln_eps=ln_eps),
+        grid=(m_p // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, din), lambda i: (i, 0)),
+            pl.BlockSpec((1, din), lambda i: (0, 0)),
+            pl.BlockSpec((1, din), lambda i: (0, 0)),
+            pl.BlockSpec((din, dout), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_m, dout), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_p, dout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=jax.default_backend() != "tpu",
+    )(xf, ln_scale.astype(jnp.float32).reshape(1, din),
+      ln_bias.astype(jnp.float32).reshape(1, din), w.astype(x.dtype))
+    return out[:m].reshape(*orig_shape[:-1], dout)

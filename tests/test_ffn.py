@@ -82,3 +82,38 @@ def test_fused_ln_residual_matches_chain(np_rng, dtype, m, block_ff, tol):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("dtype,m,dout,tol", [
+    (jnp.float32, 512, 192, 3e-5),
+    (jnp.float32, 300, 64, 3e-5),     # padded rows
+    (jnp.bfloat16, 512, 192, 0.05),   # deployment dtype (QKV: dout=3*din)
+])
+def test_linear_ln_fused_matches_chain(np_rng, dtype, m, dout, tol):
+    """LN(x) @ w with the LayerNorm fused as a kernel prologue matches
+    the unfused composition (models/unet QKV/Q projection route)."""
+    from sd_animation_optical_flow_tpu.ops.ffn import linear_ln_fused
+    din = 64
+    x = jnp.asarray(np_rng.standard_normal((m, din)), dtype) * 0.5
+    w = jnp.asarray(np_rng.standard_normal((din, dout)), dtype) * 0.1
+    g = jnp.asarray(np_rng.standard_normal((din,)), jnp.float32) * 0.1 + 1.0
+    beta = jnp.asarray(np_rng.standard_normal((din,)), jnp.float32) * 0.1
+    out = linear_ln_fused(x, w, g, beta, block_m=256)
+    ref = _layer_norm(x, g, beta) @ w
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=tol, atol=tol)
+
+
+def test_linear_ln_fused_3d(np_rng):
+    from sd_animation_optical_flow_tpu.ops.ffn import linear_ln_fused
+    din = 64
+    x = jnp.asarray(np_rng.standard_normal((2, 200, din)), jnp.float32)
+    w = jnp.asarray(np_rng.standard_normal((din, din)), jnp.float32) * 0.1
+    g = jnp.ones((din,), jnp.float32)
+    beta = jnp.zeros((din,), jnp.float32)
+    out = linear_ln_fused(x, w, g, beta, block_m=128)
+    ref = _layer_norm(x, g, beta) @ w
+    assert out.shape == (2, 200, din)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
