@@ -36,6 +36,42 @@ H, W = 512, 768
 DDIM_STEPS = 50
 T_ENC = 20  # 0.4 * 50
 
+# Wall-clock budget: the driver runs this under a hard timeout, and a
+# single cold remote compile can eat 20 minutes (round 3: batch-1 compile
+# 1209.6s -> rc 124, the whole round's number forfeited). Every milestone
+# below prints the best-so-far JSON line IMMEDIATELY (the driver takes the
+# last parseable line), and remaining work is skipped once the budget is
+# spent so the process exits cleanly with whatever it banked.
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+_T_START = time.perf_counter()
+
+
+def _budget_left():
+    return BENCH_BUDGET_S - (time.perf_counter() - _T_START)
+
+
+_STATE = {"best_fps": 0.0, "best_batch": 0, "extra": {}, "derived": False}
+
+
+def emit(backend):
+    """Print the best-so-far headline JSON line (cumulative; called after
+    EVERY successful measurement so a later timeout cannot un-bank it)."""
+    s = _STATE
+    if s["derived"]:
+        metric = ("stabilized 512x768 frames/s/chip (derived from measured "
+                  f"CFG UNet step x{T_ENC} + 5% VAE, bf16, "
+                  f"batch={s['best_batch']}, {backend})")
+    else:
+        metric = ("stabilized 512x768 frames/s/chip (20-step img2img, "
+                  f"CFG 7, bf16, batch={s['best_batch']}, {backend})")
+    print(json.dumps({
+        "metric": metric,
+        "value": round(s["best_fps"], 4),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(s["best_fps"] / NORTH_STAR_FPS, 4),
+        **s["extra"],
+    }), flush=True)
+
 
 def build_params(dtype=jnp.bfloat16):
     from sd_animation_optical_flow_tpu.models import unet as U
@@ -338,65 +374,73 @@ def main():
         return _main_loop_mode(unet_p, ucfg, vae_p, vcfg, dtype, backend)
 
     raw = make_frame_step(unet_p, ucfg, vae_p, vcfg)
+    # best batch FIRST: one successful measurement banks the headline
+    # even if everything after times out (round-3 lesson)
     batches = [int(b) for b in
-               os.environ.get("BENCH_BATCHES", "1,8,16").split(",")] \
+               os.environ.get("BENCH_BATCHES", "8,16,1").split(",")] \
         if backend == "tpu" else [1]
-    best_fps, best_batch = 0.0, 0
-    for batch in batches:
+    for i, batch in enumerate(batches):
+        if _STATE["best_fps"] > 0.0 and _budget_left() < 120:
+            print(f"# budget spent ({BENCH_BUDGET_S:.0f}s): skipping "
+                  f"batches {batches[i:]}", file=sys.stderr, flush=True)
+            break
         try:
             fps = measure_frames(raw, unet_p, vae_p, batch, dtype)
             print(f"# batch {batch}: {fps:.3f} fps (chained in-program "
                   "differencing)", file=sys.stderr, flush=True)
-            if fps > best_fps:
-                best_fps, best_batch = fps, batch
+            if fps > _STATE["best_fps"]:
+                _STATE["best_fps"], _STATE["best_batch"] = fps, batch
+            if fps > 0.0:
+                emit(backend)  # bank it NOW
         except Exception as e:  # noqa: BLE001 — report what we have
             print(f"# bench batch={batch} failed: {e}", file=sys.stderr)
-    extra = {}
-    if best_fps > 0.0 and backend == "tpu":
+    if _STATE["best_fps"] > 0.0 and backend == "tpu":
         # secondary headline: DPM++(2M) 10-step (exact per-sampler math
         # at half the DDIM step count) at the best DDIM batch; plus the
         # chip's delivered matmul rate so cross-round f/s numbers on
         # the shared chip are comparable
-        try:
-            raw_dpm = make_frame_step_dpmpp(unet_p, ucfg, vae_p, vcfg)
-            fps_dpm = measure_frames(raw_dpm, unet_p, vae_p, best_batch,
-                                     dtype)
-            extra["dpmpp10_fps"] = round(fps_dpm, 4)
-            print(f"# dpmpp 10-step batch {best_batch}: {fps_dpm:.3f} "
-                  "fps", file=sys.stderr, flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"# dpmpp bench failed: {e}", file=sys.stderr)
-        try:
-            extra["delivered_tfs_bf16"] = round(probe_delivered_tfs(), 1)
-        except Exception as e:  # noqa: BLE001
-            print(f"# tf/s probe failed: {e}", file=sys.stderr)
-    if best_fps == 0.0:
+        if _budget_left() > 120:
+            try:
+                raw_dpm = make_frame_step_dpmpp(unet_p, ucfg, vae_p, vcfg)
+                fps_dpm = measure_frames(raw_dpm, unet_p, vae_p,
+                                         _STATE["best_batch"], dtype)
+                if fps_dpm > 0.0:
+                    _STATE["extra"]["dpmpp10_fps"] = round(fps_dpm, 4)
+                    emit(backend)
+                print(f"# dpmpp 10-step batch {_STATE['best_batch']}: "
+                      f"{fps_dpm:.3f} fps", file=sys.stderr, flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"# dpmpp bench failed: {e}", file=sys.stderr)
+        else:
+            print("# budget spent: skipping dpmpp", file=sys.stderr,
+                  flush=True)
+        if _budget_left() > 60:
+            try:
+                _STATE["extra"]["delivered_tfs_bf16"] = round(
+                    probe_delivered_tfs(), 1)
+                emit(backend)
+            except Exception as e:  # noqa: BLE001
+                print(f"# tf/s probe failed: {e}", file=sys.stderr)
+        else:
+            print("# budget spent: skipping tf/s probe", file=sys.stderr,
+                  flush=True)
+    if _STATE["best_fps"] == 0.0:
         # every fused-program batch failed (flaky remote-compile tunnel):
         # fall back to the known-good step mode so the run still yields a
         # real measurement instead of a zero
-        print("# loop mode yielded nothing; falling back to step mode",
+        print("# scan mode yielded nothing; falling back to step mode",
               file=sys.stderr, flush=True)
+        _STATE["derived"] = True
         for batch in (1, 4):
             try:
                 fps = bench_step_mode(unet_p, ucfg, dtype, batch)
-                if fps > best_fps:
-                    best_fps, best_batch = fps, batch
+                if fps > _STATE["best_fps"]:
+                    _STATE["best_fps"], _STATE["best_batch"] = fps, batch
+                    emit(backend)
             except Exception as e:  # noqa: BLE001
                 print(f"# step-mode batch {batch} failed: {e}",
                       file=sys.stderr, flush=True)
-        metric = ("stabilized 512x768 frames/s/chip (derived from measured "
-                  f"CFG UNet step x{T_ENC} + 5% VAE, bf16, "
-                  f"batch={best_batch}, {backend})")
-    else:
-        metric = ("stabilized 512x768 frames/s/chip (20-step img2img, "
-                  f"CFG 7, bf16, batch={best_batch}, {backend})")
-    print(json.dumps({
-        "metric": metric,
-        "value": round(best_fps, 4),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(best_fps / NORTH_STAR_FPS, 4),
-        **extra,
-    }))
+    emit(backend)
 
 
 def _main_loop_mode(unet_p, ucfg, vae_p, vcfg, dtype, backend):

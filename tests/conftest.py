@@ -23,8 +23,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Compile-heavy tests (measured >8s wall on CPU, pipeline scans / big
-# models). `pytest -m "not slow"` is the quick tier (~10 min on a stock
-# CPU host — XLA compiles dominate); the full suite stays the default.
+# models). `pytest -m "not slow"` is the quick tier (10-15 min on a stock
+# CPU host — XLA compiles dominate and scale with core count); the full
+# suite stays the default.
 _SLOW_TESTS = {
     "test_keyframe_pipeline_end_to_end", "test_raft_small_shapes",
     "test_train_step_with_concat", "test_flow_train_step_learns",
