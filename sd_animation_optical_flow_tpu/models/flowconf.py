@@ -40,9 +40,10 @@ from .raft import RAFTConfig, coords_grid, pad_to_multiple, raft_apply
 
 @dataclass(frozen=True)
 class FlowConfidenceConfig:
-    # corr_dtype="bfloat16" is available as a knob but measured neutral
-    # on v5e (the lookup is gather-op-bound, not bandwidth-bound), so
-    # the default keeps exact f32 reference numerics.
+    # RAFTConfig defaults corr_dtype="bfloat16": per-pair device time is
+    # ~neutral (the lookup is gather-op-bound) but the halved corr-HBM is
+    # what lets flow_batch=8 fit next to the resident SD models (f32
+    # OOMs at batch 8; 539 vs 716 ms/pair bidir — DECISIONS.md round 3).
     raft: RAFTConfig = RAFTConfig()
     # conf = exp(-e_fb^2 / (2 sigma^2)); sigma=1.03 => conf(1/3 px)~0.95
     fb_sigma: float = 1.03
@@ -173,7 +174,7 @@ def _flow_conf_batch(params, cfg: FlowConfidenceConfig, src, tgt,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "iters"))
 def _flow_conf_batch_bidir(params, cfg: FlowConfidenceConfig, src, tgt,
-                           iters: int | None = None):
+                           iters: int | None = None, head_params=None):
     """Both directions of each pair from ONE RAFT batch.
 
     The confidence estimate already runs RAFT forward AND backward per
@@ -184,6 +185,11 @@ def _flow_conf_batch_bidir(params, cfg: FlowConfidenceConfig, src, tgt,
     (reference analog: PDCNetAux caches each *directed* pair separately,
     ofgen_keyframe_inpaint.py:585-600).
 
+    With cfg.uncertainty "learned"/"min" the trained decoder is applied
+    to BOTH directions (the 2B RAFT batch already carries each
+    direction's GRU state), so one run uses a single confidence
+    semantics across the pairwise and back-fill phases.
+
     Returns (flow_st [B,H,W,2] in t-coords, conf_st,
              flow_ts in s-coords, conf_ts) — bit-identical to two
     ``_flow_conf_batch`` calls (the encoders are per-image: instance
@@ -191,12 +197,30 @@ def _flow_conf_batch_bidir(params, cfg: FlowConfidenceConfig, src, tgt,
     b = src.shape[0]
     img1 = jnp.concatenate([tgt, src], axis=0)
     img2 = jnp.concatenate([src, tgt], axis=0)
-    _, flow_up = raft_apply(params, cfg.raft, img1, img2, iters=iters)
+    want_feats = cfg.uncertainty != "fb"
+    if want_feats:
+        flow_low2, flow_up, net2 = raft_apply(
+            params, cfg.raft, img1, img2, iters=iters, with_features=True)
+    else:
+        _, flow_up = raft_apply(params, cfg.raft, img1, img2, iters=iters)
     flow_fwd, flow_bwd = flow_up[:b], flow_up[b:]
     fb = jax.vmap(lambda f, bwd: fb_confidence(
         f, bwd, sigma=cfg.fb_sigma, alpha=cfg.fb_alpha))
-    conf_st, _ = fb(flow_fwd, flow_bwd)
-    conf_ts, _ = fb(flow_bwd, flow_fwd)
+    conf_st, logc_st = fb(flow_fwd, flow_bwd)
+    conf_ts, logc_ts = fb(flow_bwd, flow_fwd)
+    if want_feats:
+        assert head_params is not None, \
+            "uncertainty='learned'/'min' needs trained head params"
+        log_b = uncertainty_head_apply(head_params, net2, flow_low2)
+        conf_l = learned_confidence(log_b, flow_fwd.shape[1:3],
+                                    cfg.learned_radius)
+        if cfg.uncertainty == "learned":
+            # learned head, but keep the fb pass's out-of-bounds zeros
+            conf_st = jnp.where(logc_st <= -1e4, 0.0, conf_l[:b])
+            conf_ts = jnp.where(logc_ts <= -1e4, 0.0, conf_l[b:])
+        else:
+            conf_st = jnp.minimum(conf_st, conf_l[:b])
+            conf_ts = jnp.minimum(conf_ts, conf_l[b:])
     return flow_fwd, conf_st, flow_bwd, conf_ts
 
 
@@ -208,9 +232,9 @@ class FlowConfidenceEstimator:
         self.params = params
         self.cfg = cfg
         # trained uncertainty-decoder params (uncertainty_head_init);
-        # required when cfg.uncertainty is "learned" or "min". The bidir
-        # pairwise path keeps fb-consistency regardless (both directions
-        # of it come free there; the learned head is per-direction).
+        # required when cfg.uncertainty is "learned" or "min". Applied
+        # uniformly: calc_batch AND the bidir pairwise path (both
+        # directions' GRU states ride the same 2B RAFT batch).
         self.head_params = head_params
         # pairs per compiled RAFT call; 0 = whole batch in one program
         # (default). Isolated per-pair device time IS lower at chunk 1
@@ -258,7 +282,8 @@ class FlowConfidenceEstimator:
         src_p, (h, w) = pad_to_multiple(src, 8)
         tgt_p, _ = pad_to_multiple(tgt, 8)
         f_st, c_st, f_ts, c_ts = _flow_conf_batch_bidir(
-            self.params, self.cfg, src_p, tgt_p)
+            self.params, self.cfg, src_p, tgt_p,
+            head_params=self.head_params)
         crop = lambda a: np.asarray(a[:, :h, :w].astype(jnp.float16))
         return crop(f_st), crop(c_st), crop(f_ts), crop(c_ts)
 

@@ -34,11 +34,15 @@ class RAFTConfig:
     fnet_dim: int = 256
     alternate_corr: bool = False   # on-the-fly windowed corr (alt path)
     small: bool = False            # SmallEncoder/SmallUpdateBlock variant
-    # storage dtype of the all-pairs correlation pyramid. The lookup is
-    # gather-bound on TPU, so bf16 storage halves its HBM traffic; the
-    # matmul and the bilinear stencil still run in f32. "float32"
-    # preserves the reference's numerics exactly.
-    corr_dtype: str = "float32"
+    # storage dtype of the all-pairs correlation pyramid. bf16 halves
+    # the flow program's HBM (~0.8GB/pair at 512x768) so flow batch 8
+    # fits next to the resident SD models — f32 corr OOMs at batch 8
+    # (measured, DECISIONS.md round 3) — and is the default everywhere
+    # (CLI and KeyframeInpaintConfig.flow_batch=8 assume it; pinned by
+    # tests/test_cli_scaleout.py defaults test). The matmul and the
+    # bilinear stencil still run in f32; set "float32" for the exact
+    # reference corr numerics at flow_batch <= 4.
+    corr_dtype: str = "bfloat16"
 
     @staticmethod
     def small_config(**kw) -> "RAFTConfig":

@@ -298,8 +298,11 @@ def _dispatch_batch_flow(batch, reference_frame, flow_estimator,
     frames_u8_d = jnp.asarray(np.stack([f for f, _ in batch]))  # u8 BGR
     ref_u8_d = jnp.asarray(reference_frame)                     # u8 BGR
     flows, confs = [], []
-    for s in range(0, len(batch), max(flow_chunk, 1)):
-        tgt = frames_u8_d[s:s + flow_chunk, ..., ::-1].astype(jnp.float32)
+    # flow_chunk <= 0 means "whole batch in one program" (the same
+    # convention as FlowConfidenceEstimator.chunk)
+    chunk = flow_chunk if flow_chunk > 0 else len(batch)
+    for s in range(0, len(batch), chunk):
+        tgt = frames_u8_d[s:s + chunk, ..., ::-1].astype(jnp.float32)
         src = jnp.broadcast_to(
             ref_u8_d[None, ..., ::-1].astype(jnp.float32), tgt.shape)
         flow_d, conf_d, _ = flow_estimator.calc_batch_device(src, tgt)
@@ -383,12 +386,25 @@ def run_batched(frames: Iterable[Tuple[np.ndarray, bool, int]],
 
     mesh = None
     if cfg.dp > 0:
+        import dataclasses
+
         import jax
-        from ..parallel.mesh import make_mesh
+        from ..parallel.mesh import make_mesh, replicate_tree
         if bsz % cfg.dp != 0:
             raise ValueError(f"frame_batch={bsz} not divisible by "
                              f"dp={cfg.dp}")
         mesh = make_mesh(dp=cfg.dp, devices=jax.devices()[:cfg.dp])
+        # bundles come off create_model committed to device 0; without
+        # explicit replication every dp dispatch implicitly re-transfers
+        # the params (multi-GB) to the other chips — replicate once, the
+        # same way the keyframe --sp path does (cli.py)
+        def _rep(b):
+            return dataclasses.replace(
+                b, unet_params=replicate_tree(b.unet_params, mesh),
+                vae_params=replicate_tree(b.vae_params, mesh),
+                clip_params=replicate_tree(b.clip_params, mesh),
+                sched=replicate_tree(b.sched, mesh))
+        sd, sd_inpaint = _rep(sd), _rep(sd_inpaint)
 
     reference_frame = None
     reference_ai_frame = None

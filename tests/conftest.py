@@ -58,6 +58,7 @@ _SLOW_TESTS = {
     "test_strip_sp_denoise_matches_single",
     "test_level_batched_backfill_matches_serial",
     "test_level_batched_crossattn_completes",
+    "test_bidir_pairwise_applies_learned_head",
 }
 
 

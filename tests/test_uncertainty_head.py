@@ -99,3 +99,31 @@ def test_estimator_learned_and_min_modes(rng):
                                    log_conf[inb], atol=1e-3)
         if mode == "min":
             assert np.all(conf <= conf_fb + 1e-6)
+
+
+def test_bidir_pairwise_applies_learned_head(rng):
+    """ADVICE r3 (medium): with uncertainty="learned"/"min" the bidir
+    pairwise path must apply the trained head too — one run, one
+    confidence semantics across the keyframe pipeline's pairwise and
+    back-fill phases. Each direction of the bidir program must agree
+    with the corresponding single-direction calc_batch call."""
+    cfg_base = _tiny_cfg()
+    k1, k2 = jax.random.split(rng)
+    raft_p = RF.raft_init(k1, cfg_base)
+    head_p = FC.uncertainty_head_init(k2, hidden_dim=cfg_base.hidden_dim)
+    g = np.random.default_rng(3)
+    src = g.uniform(0, 255, (2, 32, 40, 3))
+    tgt = np.roll(src, 2, axis=2)
+
+    for mode in ("fb", "learned", "min"):
+        cfg = FC.FlowConfidenceConfig(raft=cfg_base, uncertainty=mode)
+        est = FC.FlowConfidenceEstimator(raft_p, cfg, head_params=head_p)
+        f_st, c_st, f_ts, c_ts = est.calc_batch_bidir_f16(src, tgt)
+        # direction s->t stored in t coords == calc_batch(src, tgt)
+        flow_ref, conf_ref, _ = est.calc_batch(src, tgt)
+        np.testing.assert_allclose(f_st, flow_ref, atol=2e-2)
+        np.testing.assert_allclose(c_st, conf_ref, atol=2e-3)
+        # reverse direction == calc_batch(tgt, src)
+        flow_rev, conf_rev, _ = est.calc_batch(tgt, src)
+        np.testing.assert_allclose(f_ts, flow_rev, atol=2e-2)
+        np.testing.assert_allclose(c_ts, conf_rev, atol=2e-3)
