@@ -142,6 +142,30 @@ def cmd_pixel_inpaint(args):
         out = PI.run_video(args.input, args.output, sd, sd9, flow_est,
                            tagger, cfg)
     print(f"[cli] wrote {out}")
+    return out
+
+
+def cmd_verify_parity(args):
+    """One-command quality gate (BASELINE.md: warped-region PSNR >= 40
+    dB vs the reference's `converted_%06d.png` outputs,
+    ofgen_pixel_inpaint.py:356). The moment real checkpoints are
+    available: run the pixel-inpaint pipeline with them, compare every
+    converted frame against --ref-frames over the warped
+    (high-confidence) region, print the report, exit nonzero if the
+    gate fails. With --ours the generation step is skipped and an
+    existing output directory is scored directly."""
+    import json
+
+    from .utils import parity as P
+
+    ours = args.ours
+    if ours is None:
+        ours = cmd_pixel_inpaint(args)
+    report = P.compare_dirs(ours, args.ref_frames,
+                            conf_thres=args.conf_thres)
+    print(json.dumps(report, indent=2))
+    if not report["gate_40db"]:
+        raise SystemExit(1)
 
 
 def cmd_ofgen(args):
@@ -305,6 +329,82 @@ def cmd_port(args):
         print(f"[cli] wrote raft.npz ({len(missing)} missing keys)")
 
 
+def cmd_train_uncertainty(args):
+    """Train (and evaluate) the learned flow-uncertainty decoder — the
+    reference's PDCNet+ trained-head analog (pdcnet_of.py:66-75). With
+    --raft <npz> (e.g. ported raft-things from `port`) only the head
+    trains, frozen-flow; without it RAFT itself is first trained on the
+    synthetic suite so the committed pair of artifacts is reproducible
+    end-to-end in this environment."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from .models import flowconf as FC
+    from .models import raft as RF
+    from .training import uncertainty_pretrain as UP
+    from .utils import checkpoint as CK
+
+    h, w = (int(x) for x in args.size.split("x"))
+    # training keeps the exact f32 corr numerics; the shipped params are
+    # dtype-independent (bf16 corr at inference only changes storage)
+    cfg = RF.RAFTConfig(corr_dtype="float32")
+    os.makedirs(args.output, exist_ok=True)
+
+    if args.raft:
+        like = RF.raft_init(jax.random.PRNGKey(0), cfg)
+        raft_p = CK.load_pytree(args.raft, like)
+        print(f"[cli] loaded frozen RAFT from {args.raft}")
+    else:
+        raft_p, m = UP.train_raft_synthetic(
+            cfg, steps=args.raft_steps, batch=args.batch, h=h, w=w,
+            iters=args.train_iters, lr=args.lr, seed=args.seed,
+            log=print)
+        path = os.path.join(args.output, "raft_synth.npz")
+        CK.save_pytree(path, jax.tree.map(
+            lambda a: np.asarray(a, np.float16), raft_p))
+        print(f"[cli] wrote {path} (epe {m['epe']:.3f})")
+
+    head_p, m = UP.train_head_synthetic(
+        raft_p, cfg, steps=args.head_steps, batch=args.batch, h=h, w=w,
+        iters=args.train_iters, lr=args.head_lr, seed=args.seed + 1,
+        log=print)
+    path = os.path.join(args.output, "uncertainty_head_synth.npz")
+    CK.save_pytree(path, head_p)
+    print(f"[cli] wrote {path} (err/scale corr "
+          f"{m['err_scale_corr']:.3f})")
+
+    if args.eval_scenes > 0:
+        ev = UP.evaluate_masks(raft_p, head_p, cfg,
+                               n_scenes=args.eval_scenes, h=h, w=w)
+        for mode, r in ev.items():
+            print(f"[cli] mask@0.95 {mode}: recall {r['recall']:.3f} "
+                  f"false rate {r['false_rate']:.3f}")
+
+
+def _add_pixel_args(p):
+    """Pixel-inpaint pipeline knobs (shared with verify-parity, which
+    runs the same pipeline before scoring it)."""
+    _add_common(p)
+    p.add_argument("--key-frame-thres", type=float, default=24.0)
+    p.add_argument("--confidence-thres", type=float, default=0.95)
+    p.add_argument("--propagated-pixel-weight", type=float, default=0.0)
+    p.add_argument("--frame-batch", type=int, default=1,
+                   help=">1: batch non-key frames of a segment through "
+                        "one compiled program (TPU throughput)")
+    p.add_argument("--dp", type=int, default=0,
+                   help=">0: shard the frame batch over this many "
+                        "devices (data-parallel mesh; requires "
+                        "--frame-batch divisible by it)")
+    p.add_argument("--cfg-interval", type=int, default=1,
+                   help="turbo: refresh the uncond CFG branch every "
+                        "k-th step (approximation, 1 = exact)")
+    p.add_argument("--deepcache-interval", type=int, default=0,
+                   help="turbo: reuse the deep UNet segment between "
+                        "steps for keyframe img2img (0 = off)")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="sd_animation_optical_flow_tpu",
@@ -314,23 +414,7 @@ def main(argv=None):
     p1 = sub.add_parser("pixel-inpaint",
                         help="keyframe img2img + warp + masked inpainting "
                              "(the README main pipeline)")
-    _add_common(p1)
-    p1.add_argument("--key-frame-thres", type=float, default=24.0)
-    p1.add_argument("--confidence-thres", type=float, default=0.95)
-    p1.add_argument("--propagated-pixel-weight", type=float, default=0.0)
-    p1.add_argument("--frame-batch", type=int, default=1,
-                    help=">1: batch non-key frames of a segment through "
-                         "one compiled program (TPU throughput)")
-    p1.add_argument("--dp", type=int, default=0,
-                    help=">0: shard the frame batch over this many "
-                         "devices (data-parallel mesh; requires "
-                         "--frame-batch divisible by it)")
-    p1.add_argument("--cfg-interval", type=int, default=1,
-                    help="turbo: refresh the uncond CFG branch every "
-                         "k-th step (approximation, 1 = exact)")
-    p1.add_argument("--deepcache-interval", type=int, default=0,
-                    help="turbo: reuse the deep UNet segment between "
-                         "steps for keyframe img2img (0 = off)")
+    _add_pixel_args(p1)
     p1.set_defaults(fn=cmd_pixel_inpaint)
 
     p2 = sub.add_parser("ofgen", help="warp-as-guidance pipeline")
@@ -407,6 +491,48 @@ def main(argv=None):
     p7.add_argument("-o", "--output", required=True, help="output dir")
     p7.add_argument("--bf16", action="store_true")
     p7.set_defaults(fn=cmd_port)
+
+    p8 = sub.add_parser(
+        "train-uncertainty",
+        help="train the learned flow-uncertainty decoder (and, without "
+             "--raft, a synthetic-suite RAFT for it to pair with)")
+    p8.add_argument("-o", "--output", required=True, help="output dir")
+    p8.add_argument("--raft", default=None,
+                    help="frozen RAFT params npz (e.g. ported "
+                         "raft-things); omit to train one on the "
+                         "synthetic suite first")
+    p8.add_argument("--raft-steps", type=int, default=600)
+    p8.add_argument("--head-steps", type=int, default=400)
+    p8.add_argument("--batch", type=int, default=4)
+    p8.add_argument("--size", default="128x192",
+                    help="training crop HxW (multiples of 8)")
+    p8.add_argument("--train-iters", type=int, default=8,
+                    help="RAFT GRU iterations during training")
+    p8.add_argument("--lr", type=float, default=4e-4,
+                    help="stage-1 (RAFT) learning rate")
+    p8.add_argument("--head-lr", type=float, default=1e-3,
+                    help="stage-2 (head) learning rate")
+    p8.add_argument("--seed", type=int, default=0)
+    p8.add_argument("--eval-scenes", type=int, default=16,
+                    help="held-out scenes for the mask recall/false-rate "
+                         "report (0 = skip)")
+    p8.set_defaults(fn=cmd_train_uncertainty)
+
+    p9 = sub.add_parser(
+        "verify-parity",
+        help="run the pixel-inpaint pipeline and score warped-region "
+             "PSNR against reference converted_*.png frames (the 40 dB "
+             "gate) — or score an existing dir with --ours")
+    _add_pixel_args(p9)
+    p9.add_argument("--ref-frames", required=True,
+                    help="reference output dir (converted_%%06d.png)")
+    p9.add_argument("--ours", default=None,
+                    help="already-generated output dir to score "
+                         "(skips pipeline execution)")
+    p9.add_argument("--conf-thres", type=int, default=242,
+                    help="warped-region selector on the 0-255 "
+                         "confidence map (242 ~ 0.95)")
+    p9.set_defaults(fn=cmd_verify_parity)
 
     args = parser.parse_args(argv)
     args.fn(args)

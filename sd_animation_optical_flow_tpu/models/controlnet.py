@@ -90,7 +90,10 @@ def controlnet_apply(params, cfg: UNetConfig, x, hint, timesteps, context):
     strides = [1, 1, 2, 1, 2, 1, 2]
     h_hint = hint.astype(x.dtype)
     for conv_p, s in zip(params["hint"], strides):
-        h_hint = swish(conv2d(conv_p, h_hint, stride=s))
+        # explicit padding=1: the reference's 3x3/stride-2 hint convs pad
+        # symmetrically (controlnet.py:164-180, conv_nd(..., padding=1));
+        # XLA 'SAME' under stride 2 pads (0, 1) and shifts the grid
+        h_hint = swish(conv2d(conv_p, h_hint, stride=s, padding=1))
     guided_hint = conv2d(params["hint_out"], h_hint)
 
     outs = []

@@ -199,7 +199,9 @@ def dpt_apply(params, cfg: DPTConfig, img):
         elif i == 1:    # x2: 1/16 -> 1/8
             t = conv2d(params["resample_up2"], nearest_upsample2x(t))
         elif i == 3:    # /2: 1/16 -> 1/32
-            t = conv2d(params["resample_dn2"], t, stride=2)
+            # 3x3/s2 with torch's symmetric padding=1 (midas/vit.py:453-459);
+            # XLA 'SAME' would pad (0, 1) and shift the grid
+            t = conv2d(params["resample_dn2"], t, stride=2, padding=1)
         feats.append(conv2d(params["scratch"][i], t))
 
     # coarse-to-fine RefineNet fusion

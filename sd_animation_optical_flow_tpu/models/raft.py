@@ -101,12 +101,20 @@ def _res_unit_init(rng, in_ch, out_ch, norm, stride):
 
 
 def _res_unit(p, x, norm, stride):
-    y = jax.nn.relu(_apply_norm(p.get("norm1"), conv2d(p["conv1"], x,
-                                                       stride=stride), norm))
+    # explicit symmetric padding: XLA 'SAME' pads (0, 1) under stride 2
+    # while torch Conv2d(3, padding=1) pads (1, 1) — the asymmetry
+    # shifts the strided feature grid by one input pixel vs the
+    # reference (caught by tests/test_port_weights.py raft golden
+    # parity; reference: extractor.py ResidualBlock)
+    y = jax.nn.relu(_apply_norm(p.get("norm1"),
+                                conv2d(p["conv1"], x, stride=stride,
+                                       padding=1), norm))
     y = jax.nn.relu(_apply_norm(p.get("norm2"), conv2d(p["conv2"], y), norm))
     if "down" in p:
-        x = _apply_norm(p.get("norm3"), conv2d(p["down"], x, stride=stride),
-                        norm)
+        # 1x1 kernel: torch pads 0; SAME under stride 2 happens to
+        # match, but keep it explicit
+        x = _apply_norm(p.get("norm3"), conv2d(p["down"], x, stride=stride,
+                                               padding=0), norm)
     return jax.nn.relu(x + y)
 
 
@@ -152,10 +160,11 @@ def _bottleneck(p, x, stride, norm="instance"):
     def n(v):
         return instance_norm(None, v) if norm == "instance" else v
     y = jax.nn.relu(n(conv2d(p["conv1"], x)))
-    y = jax.nn.relu(n(conv2d(p["conv2"], y, stride=stride)))
+    # explicit symmetric padding under stride (see _res_unit note)
+    y = jax.nn.relu(n(conv2d(p["conv2"], y, stride=stride, padding=1)))
     y = jax.nn.relu(n(conv2d(p["conv3"], y)))
     if "down" in p:
-        x = conv2d(p["down"], x, stride=stride)
+        x = conv2d(p["down"], x, stride=stride, padding=0)
     return jax.nn.relu(x + y)
 
 

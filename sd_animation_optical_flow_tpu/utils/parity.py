@@ -85,13 +85,19 @@ def compare_dirs(ours_dir: str, ref_dir: str, *,
                           "psnr": round(psnr(a, b, mask), 3),
                           "warped_frac": (round(float(mask.mean()), 4)
                                           if mask is not None else 1.0)})
-    vals = [f["psnr"] for f in per_frame
-            if f["psnr"] is not None and np.isfinite(f["psnr"])]
+    vals = [f["psnr"] for f in per_frame if f["psnr"] is not None]
+    # identical frames score inf — that PASSES the gate (it is the
+    # best possible parity, not a missing measurement); only the mean
+    # needs the finite subset
+    finite = [v for v in vals if np.isfinite(v)]
+    mean = (round(float(np.mean(finite)), 3) if finite
+            else (float("inf") if vals else None))
     return {
         "frames": len(pairs),
-        "mean_psnr": round(float(np.mean(vals)), 3) if vals else None,
+        "mean_psnr": mean,
         "min_psnr": round(float(np.min(vals)), 3) if vals else None,
-        "gate_40db": bool(vals and np.min(vals) >= 40.0),
+        "gate_40db": bool(vals and len(vals) == len(per_frame)
+                          and np.min(vals) >= 40.0),
         "per_frame": per_frame,
     }
 

@@ -59,6 +59,7 @@ _SLOW_TESTS = {
     "test_level_batched_backfill_matches_serial",
     "test_level_batched_crossattn_completes",
     "test_bidir_pairwise_applies_learned_head",
+    "test_pretrain_loop_runs", "test_shipped_uncertainty_artifacts",
 }
 
 

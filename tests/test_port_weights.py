@@ -106,12 +106,10 @@ def test_clip_port_and_parity():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
 
 
-def test_raft_port_structure(rng):
-    """port_raft output matches raft_init's tree structure exactly."""
-    from sd_animation_optical_flow_tpu.models import raft as RF
-    cfg = RF.RAFTConfig()
-    init = RF.raft_init(rng, cfg)
-    # synthesize a state dict with the right names/shapes from init
+def make_raft_state_dict(init):
+    """Reference-named ('module.'-prefixed) torch-layout state dict
+    synthesized from a raft_init pytree — the fixture both the
+    structure test and the torch golden-parity test drive."""
     sd = {}
 
     def emit_conv(name, p):
@@ -152,6 +150,15 @@ def test_raft_port_structure(rng):
     emit_conv("update_block.flow_head.conv2", up["flow_head"]["conv2"])
     emit_conv("update_block.mask.0", up["mask"]["conv1"])
     emit_conv("update_block.mask.2", up["mask"]["conv2"])
+    return sd
+
+
+def test_raft_port_structure(rng):
+    """port_raft output matches raft_init's tree structure exactly."""
+    from sd_animation_optical_flow_tpu.models import raft as RF
+    cfg = RF.RAFTConfig()
+    init = RF.raft_init(rng, cfg)
+    sd = make_raft_state_dict(init)
 
     ported, missing = PW.port_raft(sd)
     assert not missing
@@ -163,6 +170,45 @@ def test_raft_port_structure(rng):
         assert pa == pb
         np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
                                    rtol=1e-6)
+
+
+def test_raft_golden_parity(rng):
+    """Ported-RAFT numerics vs torch semantics (VERDICT r3 ask #8:
+    extend golden parity to ported RAFT weights). A reference-named
+    state dict drives tests/torch_raft_ref.py's functional torch
+    forward (grid_sample align_corners, eval-mode instance/batch norm,
+    floor avg_pool) and port_raft + raft_apply on the same weights;
+    flow_low AND the convex-upsampled flow_up must agree."""
+    from sd_animation_optical_flow_tpu.models import raft as RF
+    from tests.torch_raft_ref import raft_forward
+
+    cfg = RF.RAFTConfig(iters=4, corr_dtype="float32")
+    init = RF.raft_init(rng, cfg)
+    sd = make_raft_state_dict(init)
+    ported, missing = PW.port_raft(sd)
+    assert not missing
+
+    g = np.random.default_rng(11)
+    # big enough that the 4-level corr pyramid bottoms out at 2x2
+    # (1x1 would divide by zero in torch grid normalization - real
+    # RAFT resolutions never reach it)
+    img1 = g.uniform(0, 255, (2, 128, 160, 3)).astype(np.float32)
+    img2 = g.uniform(0, 255, (2, 128, 160, 3)).astype(np.float32)
+
+    tsd = {k[len("module."):]: torch.from_numpy(np.ascontiguousarray(v))
+           for k, v in sd.items()}
+    t1 = torch.from_numpy(img1).permute(0, 3, 1, 2)
+    t2 = torch.from_numpy(img2).permute(0, 3, 1, 2)
+    ref_low, ref_up = raft_forward(tsd, t1, t2, iters=4)
+
+    flow_low, flow_up = RF.raft_apply(ported, cfg, jnp.asarray(img1),
+                                      jnp.asarray(img2), iters=4)
+    out_low = np.moveaxis(np.asarray(flow_low), -1, 1)
+    out_up = np.moveaxis(np.asarray(flow_up), -1, 1)
+    np.testing.assert_allclose(out_low, ref_low.numpy(), atol=2e-3,
+                               rtol=1e-3)
+    np.testing.assert_allclose(out_up, ref_up.numpy(), atol=2e-3,
+                               rtol=1e-3)
 
 
 def test_port_vq_roundtrip():
