@@ -28,11 +28,13 @@ concatenates all references' K/V per layer.
 
 from __future__ import annotations
 
+import functools
 import glob
 import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -461,6 +463,118 @@ def greedy_warp_merge(video: VideoWorkspace, reference_frames: FrameIndices,
     return merged, mask
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "thres", "expand"))
+def _fused_prep_impl(params, head_params, cfg, src_bgr, tgt_bgr, ai_bgr,
+                     *, thres: float, expand: str):
+    """ONE compiled program for the per-frame back-fill prep: RAFT
+    flow+confidence for all references, cubic warp of their AI frames,
+    the greedy confidence-mass merge, and the inpaint-mask morphology.
+
+    The reference runs these as separate stages with host round-trips
+    between them (ofgen_keyframe_inpaint.py:1174-1240: PDCNet batch ->
+    numpy greedy merge over cv2.remap warps -> cv2 dilate); round-3
+    profiling showed the back-fill phase is dominated by per-program
+    dispatch/executable-load overhead, not chip time — so the whole prep
+    is one XLA program here (the inpaint facade is the only other
+    program per frame).
+
+    src_bgr [N,H,W,3] u8 raw reference frames, tgt_bgr [H,W,3] u8 raw
+    target frame, ai_bgr [N,H,W,3] u8 generated reference frames.
+    ``expand``: "dilate" applies the ellipse-7 mask dilation in-program
+    (warp_and_inpaint mode); "none" returns the raw uncovered mask (the
+    crossattn mode's Laplacian edge-expansion is cv2-exact on host).
+
+    Returns (merged_bgr u8 [H,W,3], covered u8 [H,W],
+             mask2 u8 [H,W], img_model f32 [H,W,3] RGB[-1,1],
+             ref_model f32 [H,W,3]) — merged/covered bit-match
+    greedy_warp_merge fed the same flow fields (binary-mask arithmetic
+    throughout; duplicated padded references are no-ops: their
+    confidence mass is subtracted by the first pick).
+    """
+    from ..models.flowconf import _flow_conf_batch
+    from ..models.raft import pad_to_multiple
+
+    n = src_bgr.shape[0]
+    src = src_bgr[..., ::-1].astype(jnp.float32)
+    tgt = jnp.broadcast_to(tgt_bgr[None, ..., ::-1].astype(jnp.float32),
+                           src.shape)
+    src_p, (h, w) = pad_to_multiple(src, 8)
+    tgt_p, _ = pad_to_multiple(tgt, 8)
+    flow, conf, _ = _flow_conf_batch(params, cfg, src_p, tgt_p,
+                                     head_params=head_params)
+    flow = flow[:, :h, :w]
+    conf = conf[:, :h, :w]
+
+    return _warp_merge_morph(flow, conf, ai_bgr, tgt_bgr, thres=thres,
+                             expand=expand)
+
+
+@functools.partial(jax.jit, static_argnames=("thres", "expand"))
+def _warp_merge_morph(flow, conf, ai_bgr, tgt_bgr, *, thres: float,
+                      expand: str):
+    """Warp + greedy merge + morphology half of the fused prep (split
+    out so tests can drive it with externally-computed flow fields; the
+    production path traces it inside _fused_prep_impl — still one
+    program)."""
+    n = ai_bgr.shape[0]
+    h, w = flow.shape[1:3]
+    # cubic warp of each reference's AI frame into target coordinates,
+    # then the reference's clip+truncate-to-u8 (greedy_warp_merge)
+    warped = jax.vmap(lambda a, f: warp_frame(a, f))(
+        ai_bgr.astype(jnp.float32), flow)
+    warped_u8 = jnp.clip(warped, 0, 255).astype(jnp.uint8)
+    fmc = (conf > thres).astype(jnp.float32)        # binary mass field
+
+    def body(k, carry):
+        merged, mask, fmc = carry
+        rel = jnp.argmax(fmc.sum(axis=(1, 2)))
+        confk = fmc[rel]                            # [H,W] in {0,1}
+        cur = confk > 0.5
+        wk = warped_u8[rel]
+        # first pick pastes wholesale (merged starts as its warp);
+        # later picks paste only their confident pixels
+        merged = jnp.where((k == 0) | cur[..., None], wk, merged)
+        mask = mask | cur
+        fmc = jnp.clip(fmc - confk[None], 0.0, 1.0)
+        return merged, mask, fmc
+
+    merged, mask, _ = jax.lax.fori_loop(
+        0, n, body, (jnp.zeros_like(warped_u8[0]),
+                     jnp.zeros((h, w), bool), fmc))
+    covered = jnp.where(mask, jnp.uint8(255), jnp.uint8(0))
+    mask2 = jnp.where(mask, jnp.uint8(0), jnp.uint8(255))
+    if expand == "dilate":
+        mask2 = dilate(mask2, ellipse_kernel(7)).astype(jnp.uint8)
+    img_model = merged[..., ::-1].astype(jnp.float32) / 127.5 - 1.0
+    ref_model = tgt_bgr[..., ::-1].astype(jnp.float32) / 127.5 - 1.0
+    return merged, covered, mask2, img_model, ref_model
+
+
+def fused_flow_warp_merge(est, video: VideoWorkspace,
+                          ref_idxs: Sequence[int], idx: int, *,
+                          thres: float, expand: str, n_pad: int = 0):
+    """Host wrapper for _fused_prep_impl: stacks the (padded) reference
+    frames as uint8 uploads and runs the one-program prep.
+
+    ``n_pad``: pad the reference set to this count by repeating the last
+    reference so every frame of a level reuses ONE compiled program
+    (padded duplicates cannot perturb the merge — see _fused_prep_impl).
+    """
+    idxs = list(ref_idxs)
+    if n_pad > len(idxs):
+        idxs = idxs + [idxs[-1]] * (n_pad - len(idxs))
+    src = np.stack([video.get_raw_frame(s) for s in idxs])
+    ais = []
+    for s in idxs:
+        ai = video.get_ai_frame(s)
+        assert ai is not None, f"reference {s} not generated yet"
+        ais.append(ai)
+    return _fused_prep_impl(
+        est.params, est.head_params, est.cfg,
+        jnp.asarray(src), jnp.asarray(video.get_raw_frame(idx)),
+        jnp.asarray(np.stack(ais)), thres=float(thres), expand=expand)
+
+
 def _default_controls(control_bundle, condition_bgr, latent_batch=2):
     """hed 0.7 (full window) + canny 0.3 (0..0.9) on the original frame
     (:1028-1048). control_bundle: None or (params, cfg, hed_fn)."""
@@ -524,6 +638,11 @@ class KeyframeInpaintConfig:
     # additionally halves adaptively on compile OOM)
     flow_batch: int = 8
     use_reference_kv: bool = True
+    # fold flow + warp + greedy merge + mask morphology into ONE compiled
+    # program per frame for the warp_and_inpaint modes (the back-fill's
+    # marginal cost is per-program overhead — DECISIONS round 3). False
+    # restores the staged host path (flow cache -> numpy merge).
+    fused_prep: bool = True
     # >1: back-fill each level in chunks of this many frames per
     # compiled program (frames of a level are independent given the
     # previous level). Level-0 K/V chaining then runs per CHUNK: the
@@ -552,21 +671,31 @@ def generate_with_refs(sd_inpaint, tagger, video: VideoWorkspace,
                        level: int = 0, workspace: str = ""):
     """Dispatch over the four generation modes (:1063-1086).
     Returns (frame_bgr, kv_hist)."""
-    flow_mat = flow_cache.calculate_multiple_to_one(video, reference_frames,
-                                                    frame_idx)
     original = video.get_raw_frame(frame_idx)
     prompt = _prompt(tagger, original, cfg.prompt_extra)
     mode = cfg.mode
 
     if mode in ("warp_and_inpaint", "warp_and_inpaint_crossattn"):
-        merged, covered = greedy_warp_merge(video, reference_frames,
-                                            flow_mat, cfg.mode_thres)
-        mask2 = 255 - covered                      # inpaint the UNcovered
-        if mode == "warp_and_inpaint_crossattn":
-            mask2 = expand_mask(mask2, original)
+        crossattn = mode == "warp_and_inpaint_crossattn"
+        if cfg.fused_prep:
+            merged_d, covered_d, mask2_d, _, _ = fused_flow_warp_merge(
+                flow_cache.estimator, video, reference_frames, frame_idx,
+                thres=cfg.mode_thres,
+                expand="none" if crossattn else "dilate")
+            merged = np.asarray(merged_d)
+            mask2 = (expand_mask(255 - np.asarray(covered_d), original)
+                     if crossattn else np.asarray(mask2_d))
         else:
-            mask2 = np.asarray(dilate(jnp.asarray(mask2),
-                                      ellipse_kernel(7))).astype(np.uint8)
+            flow_mat = flow_cache.calculate_multiple_to_one(
+                video, reference_frames, frame_idx)
+            merged, covered = greedy_warp_merge(video, reference_frames,
+                                                flow_mat, cfg.mode_thres)
+            mask2 = 255 - covered              # inpaint the UNcovered
+            if crossattn:
+                mask2 = expand_mask(mask2, original)
+            else:
+                mask2 = np.asarray(dilate(jnp.asarray(mask2),
+                                          ellipse_kernel(7))).astype(np.uint8)
         ref_kv = concat_ref_kv(reference_kv) \
             if (reference_kv and mode.endswith("crossattn")) else None
         # K/V capture (an extra UNet pass + a ~70MB store per frame) only
@@ -600,7 +729,15 @@ def generate_with_refs(sd_inpaint, tagger, video: VideoWorkspace,
         if mode == "self_attn":
             first_tile = original
             strip_mask_covered = np.zeros((h, w), np.uint8)
+        elif cfg.fused_prep:
+            first_tile_d, covered_d, _, _, _ = fused_flow_warp_merge(
+                flow_cache.estimator, video, reference_frames, frame_idx,
+                thres=cfg.mode_thres, expand="none")
+            first_tile = np.asarray(first_tile_d)
+            strip_mask_covered = np.asarray(covered_d)
         else:
+            flow_mat = flow_cache.calculate_multiple_to_one(
+                video, reference_frames, frame_idx)
             first_tile, covered = greedy_warp_merge(
                 video, reference_frames, flow_mat, cfg.mode_thres)
             strip_mask_covered = covered
@@ -676,20 +813,39 @@ def _backfill_level_batched(sd_inpaint, tagger, video: VideoWorkspace,
         for idx in chunk:
             refs = generated.adjacent_frames(idx,
                                              cfg.num_ref_for_generation)
-            flow_mat = flow_cache.calculate_multiple_to_one(video, refs,
-                                                            idx)
             original = video.get_raw_frame(idx)
-            merged, covered = greedy_warp_merge(video, refs, flow_mat,
-                                                cfg.mode_thres)
-            mask2 = 255 - covered
-            if crossattn:
-                mask2 = expand_mask(mask2, original)
+            if cfg.fused_prep:
+                # one program: flow + warp + greedy merge + morphology
+                # (padded to num_ref so every frame of every level reuses
+                # the same executable)
+                merged_d, covered_d, mask2_d, img_d, ref_d = \
+                    fused_flow_warp_merge(
+                        flow_cache.estimator, video, refs, idx,
+                        thres=cfg.mode_thres,
+                        expand="none" if crossattn else "dilate",
+                        n_pad=cfg.num_ref_for_generation)
+                merged = np.asarray(merged_d)
+                if crossattn:
+                    mask2 = expand_mask(255 - np.asarray(covered_d),
+                                        original)
+                else:
+                    mask2 = np.asarray(mask2_d)
+                imgs.append(img_d)        # stays on device
+                ref_imgs.append(ref_d)
             else:
-                mask2 = np.asarray(dilate(jnp.asarray(mask2),
-                                          ellipse_kernel(7))
-                                   ).astype(np.uint8)
-            imgs.append(np.asarray(bgr_u8_to_model(merged)[0]))
-            ref_imgs.append(np.asarray(bgr_u8_to_model(original)[0]))
+                flow_mat = flow_cache.calculate_multiple_to_one(video, refs,
+                                                                idx)
+                merged, covered = greedy_warp_merge(video, refs, flow_mat,
+                                                    cfg.mode_thres)
+                mask2 = 255 - covered
+                if crossattn:
+                    mask2 = expand_mask(mask2, original)
+                else:
+                    mask2 = np.asarray(dilate(jnp.asarray(mask2),
+                                              ellipse_kernel(7))
+                                       ).astype(np.uint8)
+                imgs.append(np.asarray(bgr_u8_to_model(merged)[0]))
+                ref_imgs.append(np.asarray(bgr_u8_to_model(original)[0]))
             masks.append(mask2.astype(np.float32) / 255.0)
             prompts.append(_prompt(tagger, original, cfg.prompt_extra))
             originals.append(original)
@@ -725,10 +881,11 @@ def _backfill_level_batched(sd_inpaint, tagger, video: VideoWorkspace,
                                      axis=0))
                     for i in range(len(ref_kvs[poss[0]])))
             out = F.img2img_inpaint_batch(
-                sd_inpaint, np.stack([imgs[p] for p in reps]),
+                # jnp.stack keeps fused-prep outputs device-resident
+                sd_inpaint, jnp.stack([imgs[p] for p in reps]),
                 [prompts[p] for p in reps], NEGATIVE_PROMPT,
                 np.stack([masks[p] for p in reps]),
-                np.stack([ref_imgs[p] for p in reps]),
+                jnp.stack([ref_imgs[p] for p in reps]),
                 denoising_strength=cfg.denoising_strength,
                 ddim_steps=cfg.ddim_steps, mask_blur=cfg.mask_blur,
                 guidance_schedule_func=cfg.guidance_schedule_func,

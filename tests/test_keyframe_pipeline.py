@@ -155,6 +155,74 @@ def test_greedy_warp_merge(tmp_path):
     assert (mask == 255).all()
 
 
+def test_fused_prep_matches_host_path(tmp_path, flow_est):
+    """_fused_prep_impl (one program: flow+warp+merge+morphology) must
+    reproduce the staged host path — greedy_warp_merge over
+    calc_batch flow + the ellipse-7 dilate — given the same f32 flow
+    fields; padded duplicate references must be no-ops."""
+    rng = np.random.default_rng(3)
+    frames = np.ascontiguousarray(
+        rng.integers(0, 255, (3, 40, 48, 3), np.uint8))
+    ws = KI.VideoWorkspace(str(tmp_path / "ws"), frames=frames,
+                           size=(48, 40), keep_every=1)   # cv2 (W, H)
+    ai0 = np.ascontiguousarray(rng.integers(0, 255, (40, 48, 3), np.uint8))
+    ai2 = np.ascontiguousarray(rng.integers(0, 255, (40, 48, 3), np.uint8))
+    ws.put_ai_frame(0, ai0)
+    ws.put_ai_frame(2, ai2)
+    refs, idx = [0, 2], 1
+
+    # host path, fed the estimator's f32 flow (the production host path
+    # reads the same fields through an f16 cache; f32-vs-f16 only moves
+    # pixels sitting exactly on the threshold)
+    src = np.stack([frames[s][..., ::-1] for s in refs])
+    tgt = np.stack([frames[idx][..., ::-1]] * 2)
+    flow, conf, _ = flow_est.calc_batch(src, tgt)
+    flow_mat = np.concatenate([flow, conf[..., None]], -1)[:, None]
+    merged_h, covered_h = KI.greedy_warp_merge(
+        ws, KI.FrameIndices(refs), flow_mat, thres=0.5)
+    from sd_animation_optical_flow_tpu.ops.filters import (dilate,
+                                                           ellipse_kernel)
+    mask2_h = np.asarray(dilate(jnp.asarray(255 - covered_h),
+                                ellipse_kernel(7))).astype(np.uint8)
+
+    # exact parity of the merge/morphology half, driven with the SAME
+    # flow fields — incl. padded duplicate references (must be no-ops)
+    ai = np.stack([ai0, ai2])
+    for pad in (0, 2):
+        flow_p = np.concatenate([flow] + [flow[1:]] * pad, 0)
+        conf_p = np.concatenate([conf] + [conf[1:]] * pad, 0)
+        ai_p = np.concatenate([ai] + [ai[1:]] * pad, 0)
+        merged, covered, mask2, img_m, ref_m = KI._warp_merge_morph(
+            jnp.asarray(flow_p), jnp.asarray(conf_p), jnp.asarray(ai_p),
+            jnp.asarray(frames[idx]), thres=0.5, expand="dilate")
+        np.testing.assert_array_equal(np.asarray(merged), merged_h)
+        np.testing.assert_array_equal(np.asarray(covered), covered_h)
+        np.testing.assert_array_equal(np.asarray(mask2), mask2_h)
+        # model-space outputs match the host conversions
+        np.testing.assert_allclose(
+            np.asarray(img_m),
+            np.asarray(KI.bgr_u8_to_model(merged_h)[0]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ref_m),
+            np.asarray(KI.bgr_u8_to_model(frames[idx])[0]), atol=1e-6)
+
+    # the full one-program path: the inlined RAFT may differ from the
+    # standalone calc_batch program in float association, so allow a
+    # small drift but require near-total agreement
+    merged, covered, mask2, _, _ = KI.fused_flow_warp_merge(
+        flow_est, ws, refs, idx, thres=0.5, expand="dilate", n_pad=3)
+    diff = np.abs(np.asarray(merged).astype(np.int16)
+                  - merged_h.astype(np.int16))
+    assert np.mean(diff <= 4) > 0.99, np.mean(diff <= 4)
+    assert np.mean(np.asarray(covered) == covered_h) > 0.99
+    # expand="none" returns the raw uncovered mask for host Laplacian
+    # expansion (crossattn mode)
+    _, covered, mask2, _, _ = KI.fused_flow_warp_merge(
+        flow_est, ws, refs, idx, thres=0.5, expand="none")
+    np.testing.assert_array_equal(np.asarray(mask2),
+                                  255 - np.asarray(covered))
+
+
 def test_expand_mask_adds_edges():
     img = np.zeros((32, 32, 3), np.uint8)
     img[:, 16:] = 255                      # strong vertical edge
