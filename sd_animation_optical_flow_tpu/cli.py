@@ -357,14 +357,21 @@ def cmd_train_uncertainty(args):
         raft_p = CK.load_pytree(args.raft, like)
         print(f"[cli] loaded frozen RAFT from {args.raft}")
     else:
+        init_p = None
+        if args.resume_raft:
+            like = RF.raft_init(jax.random.PRNGKey(0), cfg)
+            init_p = CK.load_pytree(args.resume_raft, like)
+            print(f"[cli] resuming RAFT stage 1 from {args.resume_raft}")
         raft_p, m = UP.train_raft_synthetic(
             cfg, steps=args.raft_steps, batch=args.batch, h=h, w=w,
             iters=args.train_iters, lr=args.lr, seed=args.seed,
-            log=print)
+            init_params=init_p, log=print)
         path = os.path.join(args.output, "raft_synth.npz")
         CK.save_pytree(path, jax.tree.map(
             lambda a: np.asarray(a, np.float16), raft_p))
-        print(f"[cli] wrote {path} (epe {m['epe']:.3f})")
+        heldout = UP.eval_epe(raft_p, cfg)
+        print(f"[cli] wrote {path} (train epe {m['epe']:.3f}, "
+              f"held-out epe {heldout:.3f})")
 
     head_p, m = UP.train_head_synthetic(
         raft_p, cfg, steps=args.head_steps, batch=args.batch, h=h, w=w,
@@ -379,8 +386,12 @@ def cmd_train_uncertainty(args):
         ev = UP.evaluate_masks(raft_p, head_p, cfg,
                                n_scenes=args.eval_scenes, h=h, w=w)
         for mode, r in ev.items():
-            print(f"[cli] mask@0.95 {mode}: recall {r['recall']:.3f} "
-                  f"false rate {r['false_rate']:.3f}")
+            pts = "  ".join(
+                f"@{t}: recall {r[f'recall@{t}']:.3f}/"
+                f"false {r[f'false_rate@{t}']:.3f}"
+                for t in (0.5, 0.9, 0.95))
+            print(f"[cli] mask {mode}: disocclusion AUROC "
+                  f"{r['auroc']:.3f}  {pts}")
 
 
 def _add_pixel_args(p):
@@ -501,6 +512,9 @@ def main(argv=None):
                     help="frozen RAFT params npz (e.g. ported "
                          "raft-things); omit to train one on the "
                          "synthetic suite first")
+    p8.add_argument("--resume-raft", default=None,
+                    help="continue stage-1 RAFT training from a prior "
+                         "raft_synth.npz instead of from scratch")
     p8.add_argument("--raft-steps", type=int, default=600)
     p8.add_argument("--head-steps", type=int, default=400)
     p8.add_argument("--batch", type=int, default=4)
