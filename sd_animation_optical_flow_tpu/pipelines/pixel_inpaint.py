@@ -67,6 +67,14 @@ class PixelInpaintConfig:
     # (SURVEY §2.7 data-parallel row). Only meaningful with
     # frame_batch > 1 and run_batched(); frame_batch % dp must be 0.
     dp: int = 0
+    # pad ragged segment-tail batches up to frame_batch by repeating the
+    # last frame (outputs of the padding are discarded): every batch of
+    # a run then reuses ONE compiled flow/warp/inpaint program instead
+    # of compiling a second program per distinct tail size — a compile
+    # plus (on remote runtimes) a ~140 MB executable load each. The
+    # padded duplicates cost (frame_batch - tail)/frame_batch of one
+    # batch's chip time, once per segment.
+    pad_tail_batch: bool = True
 
 
 def generate_mask(cum_confidence: np.ndarray, log_confidence: np.ndarray,
@@ -316,13 +324,17 @@ def _dispatch_batch_flow(batch, reference_frame, flow_estimator,
 
 def _process_batch(batch, flow_pair, out_dir, reference_frame,
                    reference_ai_frame, sd_inpaint, tagger, cfg,
-                   mesh=None):
+                   mesh=None, n_real=None):
     """Run a list of [(frame_bgr, counter)] non-key frames of one
     keyframe segment as a single batched program chain: (prefetched)
     batched flow -> vmapped warp + mask -> img2img_inpaint_batch ->
-    per-frame PNGs."""
+    per-frame PNGs. ``n_real``: with tail padding, how many leading
+    entries are real frames (padded duplicates are computed but not
+    written)."""
     import jax
 
+    if n_real is None:
+        n_real = len(batch)
     if mesh is not None and len(batch) % mesh.shape["dp"] != 0:
         mesh = None  # ragged tail batch: fall back to single-device
 
@@ -352,8 +364,8 @@ def _process_batch(batch, flow_pair, out_dir, reference_frame,
 
     # clip + truncate on device, pull uint8 (same helper as run() for
     # bitwise-identical converted frames)
-    outs_u8 = bgr_f32_to_u8(outs_bgr)
-    for i, (frame_bgr, counter) in enumerate(batch):
+    outs_u8 = bgr_f32_to_u8(outs_bgr[:n_real])
+    for i, (frame_bgr, counter) in enumerate(batch[:n_real]):
         write_png(f"{out_dir}/converted_{counter:06d}.png", outs_u8[i])
         if cfg.write_vis:
             conf_u8 = np.clip(np.asarray(conf_d[i]) * 255, 0,
@@ -414,11 +426,11 @@ def run_batched(frames: Iterable[Tuple[np.ndarray, bool, int]],
     def process_inflight():
         nonlocal inflight
         if inflight is not None:
-            batch, flow_pair = inflight
+            (batch, n_real), flow_pair = inflight
             inflight = None
             _process_batch(batch, flow_pair, out_dir, reference_frame,
                            reference_ai_frame, sd_inpaint, tagger, cfg,
-                           mesh=mesh)
+                           mesh=mesh, n_real=n_real)
 
     def queue_batch():
         """Dispatch this batch's flow (async), then denoise the PREVIOUS
@@ -426,9 +438,14 @@ def run_batched(frames: Iterable[Tuple[np.ndarray, bool, int]],
         nonlocal pending, inflight
         if not pending:
             return
-        new = (pending, _dispatch_batch_flow(pending, reference_frame,
-                                             flow_estimator,
-                                             cfg.flow_chunk))
+        batch, n_real = pending, len(pending)
+        if cfg.pad_tail_batch and 0 < n_real < bsz:
+            # pad to the full batch shape: reuses the segment's compiled
+            # flow/warp/inpaint programs (see PixelInpaintConfig)
+            batch = batch + [batch[-1]] * (bsz - n_real)
+        new = ((batch, n_real),
+               _dispatch_batch_flow(batch, reference_frame,
+                                    flow_estimator, cfg.flow_chunk))
         pending = []
         process_inflight()
         inflight = new
