@@ -17,9 +17,15 @@ useful for shape/latency checks, not for output quality).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import jax
+
+
+def _repo_root() -> str:
+    """Directory holding the package (where artifacts/ lives)."""
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _add_common(p):
@@ -54,8 +60,14 @@ def _add_common(p):
                         "the elementwise min of both")
     p.add_argument("--uncertainty-head", default=None,
                    help="trained uncertainty-decoder params "
-                        "(utils.checkpoint.save_pytree file; required "
-                        "for --flow-uncertainty learned/min)")
+                        "(utils.checkpoint.save_pytree file). For "
+                        "--flow-uncertainty learned/min without "
+                        "--raft-ckpt, defaults to the committed "
+                        "artifacts/uncertainty_head_synth.npz (paired "
+                        "with artifacts/raft_synth.npz). With ported "
+                        "raft-things weights, retrain stage 2 first: "
+                        "`cli train-uncertainty --raft <ported.npz>` "
+                        "(minutes on one chip) and pass its output here")
     p.add_argument("--tagger-model", default=None, help="WD tagger .onnx")
     p.add_argument("--tagger-tags", default=None, help="selected_tags.csv")
     p.add_argument("--width", type=int, default=512)
@@ -89,15 +101,24 @@ def _build_models(args):
         uncertainty=args.flow_uncertainty)
     head_p = None
     if args.flow_uncertainty != "fb":
-        if not args.uncertainty_head:
-            raise SystemExit("--flow-uncertainty learned/min needs "
-                             "--uncertainty-head params")
+        head_path = args.uncertainty_head
+        if not head_path and not args.raft_ckpt:
+            # the committed synthetic-suite pair (artifacts/): the head
+            # reads the RAFT's GRU state, so it only pairs with the
+            # RAFT it was trained against
+            head_path = os.path.join(_repo_root(),
+                                     "artifacts/uncertainty_head_synth.npz")
+        if not head_path or not os.path.exists(head_path):
+            raise SystemExit(
+                "--flow-uncertainty learned/min needs --uncertainty-head "
+                "params (with --raft-ckpt, retrain stage 2 against the "
+                "ported flow: cli train-uncertainty --raft <ported.npz>)")
         from .models.layers import numpy_init
         from .utils.checkpoint import load_pytree
         with numpy_init():
             like = FC.uncertainty_head_init(
                 jax.random.PRNGKey(0), fcfg.raft.hidden_dim)
-        head_p = load_pytree(args.uncertainty_head, like)
+        head_p = load_pytree(head_path, like)
     if args.raft_ckpt:
         from .utils.port_weights import load_state_dict, port_raft
         raft_p, _ = port_raft(load_state_dict(args.raft_ckpt))
@@ -106,8 +127,18 @@ def _build_models(args):
         with jax.default_device(jax.local_devices(backend="cpu")[0]), \
                 numpy_init():
             raft_p = RF.raft_init(jax.random.PRNGKey(0), fcfg.raft)
-        print("[cli] no --raft-ckpt: flow estimator runs with random "
-              "weights (smoke mode)")
+        synth = os.path.join(_repo_root(), "artifacts/raft_synth.npz")
+        if (head_p is not None and not args.uncertainty_head
+                and os.path.exists(synth)):
+            # the artifact head reads THIS RAFT's GRU state — load the
+            # paired synthetic-suite flow instead of random weights
+            from .utils.checkpoint import load_pytree
+            raft_p = load_pytree(synth, raft_p)
+            print(f"[cli] no --raft-ckpt: loaded the paired synthetic "
+                  f"RAFT ({synth})")
+        else:
+            print("[cli] no --raft-ckpt: flow estimator runs with random "
+                  "weights (smoke mode)")
     flow_est = FC.FlowConfidenceEstimator(raft_p, fcfg, head_params=head_p)
     tagger = Tagger(args.tagger_model, args.tagger_tags)
     if not tagger.available:
