@@ -141,6 +141,29 @@ def _flow_conf_batch(params, cfg: FlowConfidenceConfig, src, tgt,
 
     Returns (flow [B,H,W,2] target-frame, conf [B,H,W], log_conf)."""
     b = src.shape[0]
+    if cfg.uncertainty == "learned":
+        # single-direction fast path: the backward field is consumed
+        # only by fb-consistency; pure 'learned' confidence needs the
+        # forward GRU state + the (forward-flow-only) out-of-bounds
+        # sentinel. Halves the flow program — the same economy as the
+        # reference's PDCNet+ single-pass uncertainty decoder
+        # (pdcnet_of.py:66-75 runs one direction).
+        assert head_params is not None, \
+            "uncertainty='learned' needs trained head params"
+        flow_low, flow_fwd, net = raft_apply(
+            params, cfg.raft, tgt, src, iters=iters, with_features=True)
+        log_b = uncertainty_head_apply(head_params, net, flow_low)
+        conf_l = learned_confidence(log_b, flow_fwd.shape[1:3],
+                                    cfg.learned_radius)
+        h, w = flow_fwd.shape[1:3]
+        sx = jnp.arange(w, dtype=jnp.float32)[None, None, :] \
+            + flow_fwd[..., 0]
+        sy = jnp.arange(h, dtype=jnp.float32)[None, :, None] \
+            + flow_fwd[..., 1]
+        inb = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+        log_conf = jnp.where(inb, jnp.log(conf_l + 1e-30), -1e4)
+        conf = jnp.where(inb, conf_l, 0.0)
+        return flow_fwd, conf, log_conf
     # one RAFT batch of 2B: [tgt->src | src->tgt]
     img1 = jnp.concatenate([tgt, src], axis=0)
     img2 = jnp.concatenate([src, tgt], axis=0)
