@@ -681,7 +681,8 @@ def generate_with_refs(sd_inpaint, tagger, video: VideoWorkspace,
             merged_d, covered_d, mask2_d, _, _ = fused_flow_warp_merge(
                 flow_cache.estimator, video, reference_frames, frame_idx,
                 thres=cfg.mode_thres,
-                expand="none" if crossattn else "dilate")
+                expand="none" if crossattn else "dilate",
+                n_pad=cfg.num_ref_for_generation)
             merged = np.asarray(merged_d)
             mask2 = (expand_mask(255 - np.asarray(covered_d), original)
                      if crossattn else np.asarray(mask2_d))
@@ -732,7 +733,8 @@ def generate_with_refs(sd_inpaint, tagger, video: VideoWorkspace,
         elif cfg.fused_prep:
             first_tile_d, covered_d, _, _, _ = fused_flow_warp_merge(
                 flow_cache.estimator, video, reference_frames, frame_idx,
-                thres=cfg.mode_thres, expand="none")
+                thres=cfg.mode_thres, expand="none",
+                n_pad=cfg.num_ref_for_generation)
             first_tile = np.asarray(first_tile_d)
             strip_mask_covered = np.asarray(covered_d)
         else:
