@@ -50,8 +50,23 @@ with jax.default_device(jax.local_devices(backend="cpu")[0]), numpy_init(DT):
     unet_p = U.unet_init(k[1], ucfg)
     unet9_p = U.unet_init(k[2], ucfg9)
     clip_p = CL.clip_text_init(k[3], ccfg)
-    fcfg = FC.FlowConfidenceConfig()
+    # LEARNED=1: single-direction flow + trained uncertainty head (the
+    # committed artifact pair) instead of fb forward+backward
+    LEARNED = os.environ.get("LEARNED", "0") == "1"
+    fcfg = FC.FlowConfidenceConfig(
+        uncertainty="learned" if LEARNED else "fb")
     raft_p = RF.raft_init(k[4], fcfg.raft)
+head_p = None
+if LEARNED:
+    from sd_animation_optical_flow_tpu.utils.checkpoint import load_pytree
+    with jax.default_device(jax.local_devices(backend="cpu")[0]), \
+            numpy_init(jnp.float32):
+        head_like = FC.uncertainty_head_init(
+            jax.random.PRNGKey(9), hidden_dim=fcfg.raft.hidden_dim)
+        raft_like = RF.raft_init(jax.random.PRNGKey(9), fcfg.raft)
+    head_p = cast_put(load_pytree("artifacts/uncertainty_head_synth.npz",
+                                  head_like))
+    raft_p = load_pytree("artifacts/raft_synth.npz", raft_like)
 tok = PromptTokenizer(hf_name_or_path=None)
 sd = F.StableDiffusionBundle(
     unet_params=cast_put(unet_p), unet_cfg=ucfg,
@@ -61,8 +76,9 @@ sd9 = F.StableDiffusionBundle(
     unet_params=cast_put(unet9_p), unet_cfg=ucfg9,
     vae_params=sd.vae_params, vae_cfg=vcfg,
     clip_params=sd.clip_params, clip_cfg=ccfg, tokenizer=tok, dtype=DT)
-flow = FC.FlowConfidenceEstimator(cast_put(raft_p), fcfg)
-print(f"# init {time.time()-t0:.1f}s", flush=True)
+flow = FC.FlowConfidenceEstimator(cast_put(raft_p), fcfg,
+                                  head_params=head_p)
+print(f"# init {time.time()-t0:.1f}s (learned={LEARNED})", flush=True)
 
 H, W = 512, 768
 rng = np.random.default_rng(0)

@@ -23,13 +23,18 @@ import jax.numpy as jnp
 # Persistent compilation cache: through the axon tunnel a cold compile of
 # the scanned denoise program takes minutes; the on-disk cache makes every
 # later process (including the driver's bench run) hit it warm.
+# TPU backend ONLY: CPU executables are AOT-compiled against the build
+# host's CPU features, and loading one written by a different machine can
+# SIGILL/segfault in XLA's deserializer (observed with a cached CPU
+# program; TPU executables target the chip and share safely).
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-# the XLA-internal AOT sub-caches are machine-feature-specific and this
-# tunnel compiles remotely — keep only the executable cache
-jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+if jax.default_backend() == "tpu":
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # the XLA-internal AOT sub-caches are machine-feature-specific and
+    # this tunnel compiles remotely — keep only the executable cache
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 NORTH_STAR_FPS = 4.0
 H, W = 512, 768
