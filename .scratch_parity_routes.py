@@ -1,7 +1,6 @@
 import os, jax, jax.numpy as jnp, numpy as np
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+from sd_animation_optical_flow_tpu.utils.compile_cache import enable_tpu_compile_cache
+enable_tpu_compile_cache("/root/repo/.jax_cache")
 from sd_animation_optical_flow_tpu.models import unet as U
 from sd_animation_optical_flow_tpu.models.layers import cast_tree, numpy_init
 DT = jnp.bfloat16

@@ -13,9 +13,9 @@ import numpy as np
 import jax, jax.numpy as jnp
 
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+# TPU-scoped: foreign-host CPU AOT entries can SIGILL (utils/compile_cache.py)
+from sd_animation_optical_flow_tpu.utils.compile_cache import enable_tpu_compile_cache
+enable_tpu_compile_cache(_CACHE)
 
 from sd_animation_optical_flow_tpu.models import clip as CL
 from sd_animation_optical_flow_tpu.models import raft as RF

@@ -10,9 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+from sd_animation_optical_flow_tpu.utils.compile_cache import enable_tpu_compile_cache
+enable_tpu_compile_cache("/root/repo/.jax_cache")
 
 N = 6144
 ROWS = 24

@@ -19,6 +19,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# If a persistent compile cache is enabled via env (e.g. someone exports
+# JAX_COMPILATION_CACHE_DIR to speed repeated runs), veto CPU entries:
+# foreign-host CPU AOT executables can SIGILL on deserialization — one
+# killed a full quick-tier run (see utils/compile_cache.py).
+from sd_animation_optical_flow_tpu.utils.compile_cache import \
+    install_tpu_only_guard  # noqa: E402
+
+install_tpu_only_guard()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
