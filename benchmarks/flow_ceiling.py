@@ -9,13 +9,17 @@ the max bidir flow batch and the per-pair wall rate for
 Timing includes the f16 host download (what the pipeline pays). Inputs
 vary per rep to defeat server-side memoization of identical dispatches.
 
-Usage: VARIANT=f32|bf16|alt BATCHES="4 6 8" python .scratch_flow_ceiling.py
+Usage: VARIANT=f32|bf16|alt BATCHES="4 6 8" python benchmarks/flow_ceiling.py
 """
 import os, time
 import numpy as np
 import jax, jax.numpy as jnp
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import sys
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+_CACHE = os.path.join(_ROOT, ".jax_cache")
 # TPU-scoped: foreign-host CPU AOT entries can SIGILL (utils/compile_cache.py)
 from sd_animation_optical_flow_tpu.utils.compile_cache import enable_tpu_compile_cache
 enable_tpu_compile_cache(_CACHE)

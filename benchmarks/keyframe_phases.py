@@ -1,6 +1,6 @@
 """Keyframe pipeline TPU phase benchmark: 16-frame synthetic clip.
 
-Usage: LEVEL_BATCH=1|4 MODE=warp_and_inpaint[_crossattn] python .scratch_kf_bench.py
+Usage: LEVEL_BATCH=1|4 MODE=warp_and_inpaint[_crossattn] python benchmarks/keyframe_phases.py
 Times the phases (pairwise flow / seed strip / level back-fill) around
 keyframe_inpaint.run internals.
 """
@@ -8,7 +8,11 @@ import os, shutil, time
 import numpy as np
 import jax, jax.numpy as jnp
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import sys
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+_CACHE = os.path.join(_ROOT, ".jax_cache")
 # TPU-scoped: foreign-host CPU AOT entries can SIGILL (utils/compile_cache.py)
 from sd_animation_optical_flow_tpu.utils.compile_cache import enable_tpu_compile_cache
 enable_tpu_compile_cache(_CACHE)

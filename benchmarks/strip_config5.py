@@ -6,13 +6,17 @@ self_attn mode + attention.py:243-310 forward_mfr band bias). Measures
 one frame generated per call: [target | reference] 512x1536 strip,
 20-step DDIM CFG 7, hed 0.7 + canny 0.3 ControlNets, KV capture on.
 
-Usage: python .scratch_strip_bench.py [N_REF=1] [STEPS-env]
+Usage: python benchmarks/strip_config5.py [N_REF=1] [STEPS-env]
 """
 import os, time
 import numpy as np
 import jax, jax.numpy as jnp
 
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import sys
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+_CACHE = os.path.join(_ROOT, ".jax_cache")
 # TPU-scoped: foreign-host CPU AOT entries can SIGILL (utils/compile_cache.py)
 from sd_animation_optical_flow_tpu.utils.compile_cache import enable_tpu_compile_cache
 enable_tpu_compile_cache(_CACHE)

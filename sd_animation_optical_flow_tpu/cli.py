@@ -417,10 +417,14 @@ def cmd_train_uncertainty(args):
         ev = UP.evaluate_masks(raft_p, head_p, cfg,
                                n_scenes=args.eval_scenes, h=h, w=w)
         for mode, r in ev.items():
+            # thresholds come from the returned keys, not a literal
+            # tuple, so evaluate_masks' defaults can change freely
+            ts = sorted(float(k.split("@")[1]) for k in r
+                        if k.startswith("recall@"))
             pts = "  ".join(
-                f"@{t}: recall {r[f'recall@{t}']:.3f}/"
+                f"@{t:g}: recall {r[f'recall@{t}']:.3f}/"
                 f"false {r[f'false_rate@{t}']:.3f}"
-                for t in (0.5, 0.9, 0.95))
+                for t in ts)
             print(f"[cli] mask {mode}: disocclusion AUROC "
                   f"{r['auroc']:.3f}  {pts}")
 

@@ -238,9 +238,23 @@ def _flow_conf_batch_bidir(params, cfg: FlowConfidenceConfig, src, tgt,
         conf_l = learned_confidence(log_b, flow_fwd.shape[1:3],
                                     cfg.learned_radius)
         if cfg.uncertainty == "learned":
-            # learned head, but keep the fb pass's out-of-bounds zeros
-            conf_st = jnp.where(logc_st <= -1e4, 0.0, conf_l[:b])
-            conf_ts = jnp.where(logc_ts <= -1e4, 0.0, conf_l[b:])
+            # learned head, zeroed ONLY at out-of-bounds pixels — the
+            # same mask the single-direction fast path applies (a pixel
+            # whose source lands outside the frame has nothing to warp
+            # from). The fb log-conf sentinel is NOT reused here: it can
+            # also fire on catastrophic fb error, which would silently
+            # mix fb semantics into the pure-learned mode and make the
+            # two 'learned' paths disagree.
+            def _oob(flow):
+                h, w = flow.shape[1:3]
+                sx = jnp.arange(w, dtype=jnp.float32)[None, None, :] \
+                    + flow[..., 0]
+                sy = jnp.arange(h, dtype=jnp.float32)[None, :, None] \
+                    + flow[..., 1]
+                return ((sx >= 0) & (sx <= w - 1)
+                        & (sy >= 0) & (sy <= h - 1))
+            conf_st = jnp.where(_oob(flow_fwd), conf_l[:b], 0.0)
+            conf_ts = jnp.where(_oob(flow_bwd), conf_l[b:], 0.0)
         else:
             conf_st = jnp.minimum(conf_st, conf_l[:b])
             conf_ts = jnp.minimum(conf_ts, conf_l[b:])

@@ -346,7 +346,11 @@ def _process_batch(batch, flow_pair, out_dir, reference_frame,
         ref_ai_d, flow_d, conf_d, ellipse_kernel(cfg.mask_dilate),
         conf_thres=cfg.confidence_thres)                     # mask [B,H,W]
 
-    prompts = [_prompt_for(tagger, f, cfg.prompt_extra) for f, _ in batch]
+    # prompt only the real frames: padded tail duplicates would each pay
+    # a host-side tagger (ONNX) inference whose output is discarded
+    prompts = [_prompt_for(tagger, f, cfg.prompt_extra)
+               for f, _ in batch[:n_real]]
+    prompts += [prompts[-1]] * (len(batch) - n_real)
     imgs_model = warped_d[..., ::-1] / 127.5 - 1.0
     refs_model = frames_u8_d[..., ::-1].astype(jnp.float32) / 127.5 - 1.0
     outs = F.img2img_inpaint_batch(

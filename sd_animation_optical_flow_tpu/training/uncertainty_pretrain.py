@@ -171,6 +171,8 @@ def evaluate_masks(raft_params, head_params, raft_cfg: RF.RAFTConfig, *,
 
     def auroc(score_pos, score_neg):
         # rank-based AUROC (Mann-Whitney), subsampled for memory
+        if len(score_pos) == 0 or len(score_neg) == 0:
+            return float("nan")  # degenerate split: no score is defined
         rs = np.random.default_rng(0)
         pos = rs.choice(score_pos, min(len(score_pos), 20000),
                         replace=False)
