@@ -65,12 +65,20 @@ def emit(backend):
     else:
         metric = ("stabilized 512x768 frames/s/chip (20-step img2img, "
                   f"CFG 7, bf16, batch={s['best_batch']}, {backend})")
+    extra = dict(s["extra"])
+    if "dpmpp10_fps" in extra:
+        # the round-4-blessed north-star operating point (BASELINE.md):
+        # >=4 f/s/chip demonstrated at DPM++(2M) 10-step; the DDIM-20
+        # pinned metric above stays reported against its ~2.3-2.4
+        # single-chip floor
+        extra["dpmpp10_vs_north_star"] = round(
+            extra["dpmpp10_fps"] / NORTH_STAR_FPS, 4)
     print(json.dumps({
         "metric": metric,
         "value": round(s["best_fps"], 4),
         "unit": "frames/s/chip",
         "vs_baseline": round(s["best_fps"] / NORTH_STAR_FPS, 4),
-        **s["extra"],
+        **extra,
     }), flush=True)
 
 

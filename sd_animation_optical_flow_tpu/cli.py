@@ -407,7 +407,7 @@ def cmd_train_uncertainty(args):
     head_p, m = UP.train_head_synthetic(
         raft_p, cfg, steps=args.head_steps, batch=args.batch, h=h, w=w,
         iters=args.train_iters, lr=args.head_lr, seed=args.seed + 1,
-        log=print)
+        bce_weight=args.bce_weight, log=print)
     path = os.path.join(args.output, "uncertainty_head_synth.npz")
     CK.save_pytree(path, head_p)
     print(f"[cli] wrote {path} (err/scale corr "
@@ -561,6 +561,10 @@ def main(argv=None):
                     help="stage-1 (RAFT) learning rate")
     p8.add_argument("--head-lr", type=float, default=1e-3,
                     help="stage-2 (head) learning rate")
+    p8.add_argument("--bce-weight", type=float, default=0.3,
+                    help="disocclusion-BCE sharpening weight on the "
+                         "served confidence mapping (0 = pure NLL; see "
+                         "flow_train.uncertainty_train_step)")
     p8.add_argument("--seed", type=int, default=0)
     p8.add_argument("--eval-scenes", type=int, default=16,
                     help="held-out scenes for the mask recall/false-rate "

@@ -129,15 +129,25 @@ def uncertainty_nll_loss(log_b_low, flow_up, flow_gt, valid):
     return nll, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx", "iters"))
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "iters",
+                                             "bce_weight", "radius"))
 def uncertainty_train_step(state: FlowTrainState, raft_params,
                            cfg: RF.RAFTConfig, tx,
                            image1, image2, flow_gt, valid, *,
-                           iters: int = 12):
+                           iters: int = 12, disoccluded=None,
+                           bce_weight: float = 0.0,
+                           radius: float = 1.0 / 3.0):
     """One head-only optimization step: RAFT runs frozen (its features
     and predictions are stop-gradiented) and only the uncertainty-head
     params in ``state`` update — the PDCNet+ recipe of training the
-    uncertainty decoder on a frozen matching network."""
+    uncertainty decoder on a frozen matching network.
+
+    ``disoccluded`` + ``bce_weight`` add a class-balanced BCE on the
+    SERVED confidence mapping (learned_confidence's (1-exp(-R/b))^2)
+    against the ground-truth disocclusion mask: the NLL calibrates b to
+    |flow error| everywhere, while the BCE sharpens exactly the
+    decision the pipelines threshold (conf < thres drives the inpaint
+    mask, ofgen_pixel_inpaint.py:262). The NLL stays the primary loss."""
     from ..models import flowconf as FC
 
     flow_low, flow_up, net = RF.raft_apply(
@@ -148,7 +158,21 @@ def uncertainty_train_step(state: FlowTrainState, raft_params,
 
     def loss_fn(head_params):
         log_b = FC.uncertainty_head_apply(head_params, net, flow_low)
-        return uncertainty_nll_loss(log_b, flow_up, flow_gt, valid)
+        nll, metrics = uncertainty_nll_loss(log_b, flow_up, flow_gt,
+                                            valid)
+        if disoccluded is None or bce_weight <= 0.0:
+            return nll, metrics
+        conf = FC.learned_confidence(log_b, flow_up.shape[1:3], radius)
+        conf = jnp.clip(conf, 1e-6, 1.0 - 1e-6)
+        dis = disoccluded >= 0.5
+        n_pos = jnp.maximum(jnp.sum(dis), 1.0)
+        n_neg = jnp.maximum(jnp.sum(~dis), 1.0)
+        # balanced per-class means: disoccluded pixels are a few percent
+        # of the frame and would otherwise vanish from the gradient
+        bce = 0.5 * (jnp.sum(-jnp.log1p(-conf) * dis) / n_pos
+                     + jnp.sum(-jnp.log(conf) * (~dis)) / n_neg)
+        metrics = {**metrics, "bce": bce}
+        return nll + bce_weight * bce, metrics
 
     (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params)

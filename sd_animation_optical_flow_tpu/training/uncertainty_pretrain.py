@@ -43,24 +43,40 @@ def _log(msg: str, log: Optional[Callable[[str], None]]):
 
 
 def _batch_prefetcher(seed: int, steps: int, batch: int, h: int, w: int,
-                      depth: int = 4):
-    """Render scene batches in a host thread ahead of the train loop —
-    scene synthesis (25-iteration field inversion) costs ~1 s/batch at
-    batch 8, which would otherwise serialize with the device step."""
-    import queue
-    import threading
+                      depth: int = 4, workers: int = 0):
+    """Render scene batches ahead of the train loop on a thread pool —
+    scene synthesis (25-iteration field inversion) costs ~0.13 s/scene,
+    which single-threaded (~1 s/batch at batch 8) would gate the whole
+    TPU training rate. Per-scene generators spawn from one SeedSequence,
+    so the stream is deterministic in ``seed`` regardless of worker
+    count or completion order."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
 
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    rng = np.random.default_rng(seed)
+    workers = workers or min(8, os.cpu_count() or 4)
+    children = np.random.SeedSequence(seed).spawn(steps * batch)
 
-    def worker():
+    def render(i):
+        return SF.render_scene(np.random.default_rng(children[i]), h, w)
+
+    total = steps * batch
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = [ex.submit(render, i) for i in range(min(depth * batch,
+                                                        total))]
+        nxt = len(futs)
+        stack = lambda f, sc: np.stack([f(s) for s in sc])
         for _ in range(steps):
-            q.put(SF.synthetic_batch(rng, batch, h, w))
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    for _ in range(steps):
-        yield q.get()
+            scenes = [f.result() for f in futs[:batch]]
+            del futs[:batch]
+            while nxt < total and len(futs) < depth * batch:
+                futs.append(ex.submit(render, nxt))
+                nxt += 1
+            yield (stack(lambda s: s.img1, scenes),
+                   stack(lambda s: s.img2, scenes),
+                   stack(lambda s: s.flow, scenes),
+                   stack(lambda s: s.valid, scenes),
+                   stack(lambda s: s.occluded, scenes),
+                   stack(lambda s: s.disoccluded, scenes))
 
 
 def train_raft_synthetic(cfg: RF.RAFTConfig, *, steps: int = 600,
@@ -91,9 +107,10 @@ def train_raft_synthetic(cfg: RF.RAFTConfig, *, steps: int = 600,
 def train_head_synthetic(raft_params, cfg: RF.RAFTConfig, *,
                          steps: int = 400, batch: int = 4, h: int = 128,
                          w: int = 192, iters: int = 8, lr: float = 1e-3,
-                         seed: int = 1,
+                         seed: int = 1, bce_weight: float = 0.3,
                          log: Optional[Callable[[str], None]] = None):
-    """Stage 2: uncertainty head by NLL against the frozen RAFT.
+    """Stage 2: uncertainty head by NLL (+ disocclusion-BCE sharpening,
+    see flow_train.uncertainty_train_step) against the frozen RAFT.
     Returns (head_params, final metrics incl. 'err_scale_corr')."""
     head = FC.uncertainty_head_init(jax.random.PRNGKey(seed),
                                     hidden_dim=cfg.hidden_dim)
@@ -102,12 +119,12 @@ def train_head_synthetic(raft_params, cfg: RF.RAFTConfig, *,
     metrics = {}
     t0 = time.perf_counter()
     batches = _batch_prefetcher(seed, steps, batch, h, w)
-    for step, (im1, im2, gt, valid, _, _) in enumerate(batches):
+    for step, (im1, im2, gt, valid, _, dis) in enumerate(batches):
         state, loss, metrics = FT.uncertainty_train_step(
             state, raft_params, cfg, tx, im1, im2, gt, valid,
-            iters=iters)
+            iters=iters, disoccluded=dis, bce_weight=bce_weight)
         if log is not None and (step % 50 == 0 or step == steps - 1):
-            _log(f"head step {step}: nll {float(loss):.3f} "
+            _log(f"head step {step}: loss {float(loss):.3f} "
                  f"corr {float(metrics['err_scale_corr']):.3f} "
                  f"({time.perf_counter() - t0:.0f}s)", log)
     return state.params, {k: float(v) for k, v in metrics.items()}

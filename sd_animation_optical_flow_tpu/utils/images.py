@@ -65,6 +65,41 @@ def write_png(path: str, img_bgr: np.ndarray):
     cv2.imwrite(path, img_bgr)
 
 
+class PngWriter:
+    """Write-behind PNG writer: cv2.imwrite (which releases the GIL for
+    the zlib encode + disk IO) runs on worker threads so PNG output
+    overlaps device compute — the output-side analog of the native
+    frame pipe's input read-behind (native/framepipe.py). The reference
+    writes PNGs inline between GPU stages (ofgen_pixel_inpaint.py:356).
+
+    ``close()`` drains the queue and re-raises the first worker error;
+    callers must close (or use as a context manager) before treating
+    the output directory as complete."""
+
+    def __init__(self, workers: int = 2):
+        from concurrent.futures import ThreadPoolExecutor
+        self._ex = ThreadPoolExecutor(max_workers=workers,
+                                      thread_name_prefix="pngw")
+        self._futs = []
+
+    def submit(self, path: str, img_bgr: np.ndarray):
+        self._futs.append(self._ex.submit(write_png, path, img_bgr))
+
+    def close(self):
+        futs, self._futs = self._futs, []
+        try:
+            for f in futs:
+                f.result()
+        finally:
+            self._ex.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def read_png_bgr(path: str) -> np.ndarray:
     import cv2
     img = cv2.imread(path, cv2.IMREAD_COLOR)

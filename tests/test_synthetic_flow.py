@@ -73,11 +73,12 @@ def test_pretrain_loop_runs():
     assert np.isfinite(epe)
     ev = UP.evaluate_masks(raft_p, head_p, cfg, n_scenes=2, h=64, w=96)
     for mode in ("fb", "learned", "min"):
-        assert 0.0 <= ev[mode]["recall"] <= 1.0
-        assert 0.0 <= ev[mode]["false_rate"] <= 1.0
+        assert 0.0 <= ev[mode]["recall@0.95"] <= 1.0
+        assert 0.0 <= ev[mode]["false_rate@0.95"] <= 1.0
     # "min" masks everything either source masks: recall dominates both
-    assert ev["min"]["recall"] >= max(ev["fb"]["recall"],
-                                      ev["learned"]["recall"]) - 1e-6
+    assert ev["min"]["recall@0.95"] >= max(ev["fb"]["recall@0.95"],
+                                           ev["learned"]["recall@0.95"]) \
+        - 1e-6
 
 
 def test_shipped_uncertainty_artifacts():
@@ -106,7 +107,11 @@ def test_shipped_uncertainty_artifacts():
 
     ev = UP.evaluate_masks(raft_p, head_p, cfg, n_scenes=4,
                            h=128, w=192)
-    assert ev["fb"]["recall"] > 0.85, ev
-    assert ev["min"]["recall"] > 0.85, ev
-    assert ev["learned"]["false_rate"] < 0.35, ev
-    assert ev["min"]["recall"] >= ev["fb"]["recall"] - 1e-6
+    assert ev["fb"]["recall@0.95"] > 0.85, ev
+    assert ev["min"]["recall@0.95"] > 0.85, ev
+    # threshold-free ranking quality: the trained head must order
+    # disoccluded vs verifiable pixels far above chance (absolute
+    # thresholded rates at 128x192 are dominated by the synthetic
+    # RAFT's EPE — see evaluate_masks docstring)
+    assert ev["learned"]["auroc"] > 0.75, ev
+    assert ev["min"]["recall@0.95"] >= ev["fb"]["recall@0.95"] - 1e-6
