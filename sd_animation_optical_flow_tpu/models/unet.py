@@ -510,7 +510,12 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
     """
     dedup = context_pair is not None
     if dedup:
-        assert ref_kv is None and attn_biases is None and strip is None \
+        # strip IS allowed: the MFR band bias is a positional attention
+        # bias, identical across the CFG halves, so the stem stays
+        # bit-identical under batch doubling (config-5 shapes put the
+        # largest L0 self-attention in the stem — halving it there is
+        # the biggest single win at 12288-token strips)
+        assert ref_kv is None and attn_biases is None \
             and sp is None and y is None, \
             "context_pair (CFG stem dedup) requires plain conditioning"
     nh = cfg.num_heads
@@ -527,6 +532,7 @@ def unet_apply(params, cfg: UNetConfig, x, timesteps, context,
     def tfm(p, h, layer_idx):
         if state["half"]:
             h, kvs = _spatial_transformer(p, h, None, nh, None, None,
+                                          strip=strip,
                                           cfg_pair=context_pair)
             state["half"] = False
             state["emb"] = jnp.concatenate([state["emb"], state["emb"]], 0)

@@ -148,9 +148,12 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
 
     # CFG stem dedup (exact): the [uncond|cond] halves are identical
     # until the first cross-attention, so run the stem once on the half
-    # batch. Preconditions: plain DDIM, no injected KV / strip bias /
-    # sequence parallelism (their CFG halves differ).
-    cfg_dedup = (ref_kv is None and strip is None and sp is None
+    # batch. Preconditions: plain DDIM, no injected KV / sequence
+    # parallelism (their CFG halves differ). The MFR strip band bias is
+    # CFG-half-independent (purely positional), so strips dedup too —
+    # at config-5 shapes the stem holds the largest (12288-token) L0
+    # self-attention, the strip workload's dominant quadratic term.
+    cfg_dedup = (ref_kv is None and sp is None
                  and sampler == "ddim" and cfg_interval == 1
                  and deepcache_interval == 0)
 

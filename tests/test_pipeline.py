@@ -332,6 +332,40 @@ def test_cfg_stem_dedup_unet_parity(bundles):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_cfg_stem_dedup_strip_parity(bundles):
+    """Stem dedup under an MFR strip must reproduce the doubled-batch
+    strip forward: the band bias is purely positional, so the CFG
+    halves stay bit-identical through the stem (the config-5 win — at
+    512x1536 strips the stem holds the largest L0 self-attention)."""
+    sd, _ = bundles
+    rng = jax.random.PRNGKey(13)
+    kx, ku, kc, kp = jax.random.split(rng, 4)
+    # perturb the zero-init output convs: a raw random UNet's attention
+    # contributes exactly 0, which would hide the band bias (see the
+    # verify-skill note on MFR probes)
+    up = jax.tree.map(
+        lambda a: a + 0.02 * jax.random.normal(kp, a.shape, a.dtype),
+        sd.unet_params)
+    x = jax.random.normal(kx, (1, 8, 16, 4), jnp.float32)  # 2-tile strip
+    ctx_u = jax.random.normal(ku, (1, 5, 32), jnp.float32)
+    ctx_c = jax.random.normal(kc, (1, 5, 32), jnp.float32)
+    t = jnp.full((1,), 377, jnp.int32)
+    strip = U.StripConfig(n_tiles=2, mode="target")
+
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    ctx2 = jnp.concatenate([ctx_u, ctx_c], axis=0)
+    ref, _ = U.unet_apply(up, sd.unet_cfg, x2, t2, ctx2, strip=strip)
+    out, _ = U.unet_apply(up, sd.unet_cfg, x, t, None,
+                          strip=strip, context_pair=(ctx_u, ctx_c))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # and the bias actually biased something: differs from no-strip
+    plain, _ = U.unet_apply(up, sd.unet_cfg, x, t, None,
+                            context_pair=(ctx_u, ctx_c))
+    assert not np.allclose(np.asarray(out), np.asarray(plain))
+
+
 def test_cfg_stem_dedup_facade_parity(bundles):
     """The facade auto-enables dedup; the full decode must match a run
     with dedup force-disabled (via a knob that falls back: cfg_interval
