@@ -178,6 +178,7 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
     ``<save_dir>_pixel_warp-<name>`` (ofgen_pixel_inpaint.py:316-318)."""
     out_dir = f"{save_dir}_pixel_warp-{cfg.name}"
     os.makedirs(out_dir, exist_ok=True)
+    from ..utils.images import PngWriter
 
     reference_frame: Optional[np.ndarray] = None
     reference_ai_frame: Optional[np.ndarray] = None
@@ -190,87 +191,91 @@ def run(frames: Iterable[Tuple[np.ndarray, bool, int]],
         cur_d = jnp.asarray(cur_bgr)[None, ..., ::-1].astype(jnp.float32)
         return flow_estimator.calc_batch_device(ref_d, cur_d)
 
-    for (frame_bgr, is_key, counter), nxt in _lookahead(frames):
-        if is_key:
-            pending_flow = None
-            ai_frame = keyframe_img2img(sd, tagger, frame_bgr, cfg)
-            reference_frame = frame_bgr
-            reference_ai_frame = ai_frame
-            reference_ai_d = None   # re-uploaded lazily on first warp
-            # prefetch flow for the next frame against the NEW keyframe
-            if nxt is not None and not nxt[1]:
-                pending_flow = dispatch_flow(reference_frame, nxt[0])
-            if cfg.write_vis:
-                vis = np.concatenate([frame_bgr, frame_bgr, ai_frame,
-                                      ai_frame, frame_bgr, ai_frame], axis=1)
-                write_png(f"{out_dir}/vis_{counter:06d}.png", vis)
-                write_png(f"{out_dir}/pixel_confidence_{counter:06d}.png",
-                          np.ones(frame_bgr.shape[:2], np.uint8))
-        else:
-            # flow + confidence keyframe -> current: use the prefetched
-            # dispatch when available, else compute now
-            if pending_flow is None:
-                pending_flow = dispatch_flow(reference_frame, frame_bgr)
-            flow_d, conf_d, _ = pending_flow
-            # dispatch the NEXT frame's flow before any further work
-            pending_flow = None
-            if nxt is not None and not nxt[1]:
-                pending_flow = dispatch_flow(reference_frame, nxt[0])
-
-            # --- device-resident hot path: warp + mask + inpaint stay
-            # on the accelerator; the host sees only the prompt (raw
-            # frame, already host-side) and the final PNG pull. The
-            # reference round-trips through cv2/numpy 6x per frame
-            # (SURVEY §3.1 boundary notes).
-            if reference_ai_d is None:
-                reference_ai_d = jnp.asarray(
-                    reference_ai_frame).astype(jnp.float32)
-            warped_d, mask01_d = warp_mask_fused(
-                reference_ai_d, flow_d[0], conf_d[0],
-                ellipse_kernel(cfg.mask_dilate),
-                conf_thres=cfg.confidence_thres)
-
-            prompt = _prompt_for(tagger, frame_bgr, cfg.prompt_extra)
-            img_out, _, _, _ = F.img2img_inpaint(
-                sd_inpaint,
-                image=bgr_f32d_to_model(warped_d),
-                c_text=prompt, uc_text=NEGATIVE_PROMPT,
-                denoising_strength=cfg.denoising_strength,
-                ddim_steps=cfg.ddim_steps,
-                reference_img=bgr_u8_to_model(frame_bgr),
-                mask=mask01_d, mask_blur=cfg.mask_blur,
-                guidance_schedule_func=cfg.guidance_schedule_func,
-                seed=cfg.seed, want_init_decoded=False,
-                sampler=cfg.sampler, cfg_interval=cfg.cfg_interval)
-            raw_ai_d = model_to_bgr_f32d(img_out)
-            if cfg.propagated_pixel_weight >= 0.001:
-                # propagated-pixel mix (ofgen_pixel_inpaint.py:251-260)
-                w = jnp.where(mask01_d <= 0.5,
-                              cfg.propagated_pixel_weight,
-                              1.0 - cfg.propagated_pixel_weight)[..., None]
-                ai_d = raw_ai_d * (1.0 - w) + warped_d * w
+    writer = PngWriter()
+    try:
+        for (frame_bgr, is_key, counter), nxt in _lookahead(frames):
+            if is_key:
+                pending_flow = None
+                ai_frame = keyframe_img2img(sd, tagger, frame_bgr, cfg)
+                reference_frame = frame_bgr
+                reference_ai_frame = ai_frame
+                reference_ai_d = None   # re-uploaded lazily on first warp
+                # prefetch flow for the next frame against the NEW keyframe
+                if nxt is not None and not nxt[1]:
+                    pending_flow = dispatch_flow(reference_frame, nxt[0])
+                if cfg.write_vis:
+                    vis = np.concatenate([frame_bgr, frame_bgr, ai_frame,
+                                          ai_frame, frame_bgr, ai_frame], axis=1)
+                    writer.submit(f"{out_dir}/vis_{counter:06d}.png", vis)
+                    writer.submit(f"{out_dir}/pixel_confidence_{counter:06d}.png",
+                              np.ones(frame_bgr.shape[:2], np.uint8))
             else:
-                ai_d = raw_ai_d
-            # NOTE: the AI reference stays the keyframe's AI frame —
-            # warping is always keyframe->frame (ofgen_pixel_inpaint.py:338)
-            ai_frame = bgr_f32_to_u8(ai_d)
+                # flow + confidence keyframe -> current: use the prefetched
+                # dispatch when available, else compute now
+                if pending_flow is None:
+                    pending_flow = dispatch_flow(reference_frame, frame_bgr)
+                flow_d, conf_d, _ = pending_flow
+                # dispatch the NEXT frame's flow before any further work
+                pending_flow = None
+                if nxt is not None and not nxt[1]:
+                    pending_flow = dispatch_flow(reference_frame, nxt[0])
 
-            if cfg.write_vis:
-                conf = np.asarray(conf_d[0])
-                conf_u8 = np.clip(conf * 255, 0, 255).astype(np.uint8)
-                write_png(f"{out_dir}/pixel_confidence_{counter:06d}.png",
-                          conf_u8)
-                warped_ai = bgr_f32_to_u8(warped_d)
-                mask_u8 = (np.asarray(mask01_d) * 255).astype(np.uint8)
-                raw_ai_frame = bgr_f32_to_u8(raw_ai_d)
-                masked = warped_ai.copy()
-                masked[mask_u8 > 127] = np.array([0, 0, 255], np.uint8)
-                vis = np.concatenate([reference_frame, frame_bgr,
-                                      raw_ai_frame, ai_frame, warped_ai,
-                                      masked], axis=1)
-                write_png(f"{out_dir}/vis_{counter:06d}.png", vis)
+                # --- device-resident hot path: warp + mask + inpaint stay
+                # on the accelerator; the host sees only the prompt (raw
+                # frame, already host-side) and the final PNG pull. The
+                # reference round-trips through cv2/numpy 6x per frame
+                # (SURVEY §3.1 boundary notes).
+                if reference_ai_d is None:
+                    reference_ai_d = jnp.asarray(
+                        reference_ai_frame).astype(jnp.float32)
+                warped_d, mask01_d = warp_mask_fused(
+                    reference_ai_d, flow_d[0], conf_d[0],
+                    ellipse_kernel(cfg.mask_dilate),
+                    conf_thres=cfg.confidence_thres)
 
-        write_png(f"{out_dir}/converted_{counter:06d}.png", ai_frame)
+                prompt = _prompt_for(tagger, frame_bgr, cfg.prompt_extra)
+                img_out, _, _, _ = F.img2img_inpaint(
+                    sd_inpaint,
+                    image=bgr_f32d_to_model(warped_d),
+                    c_text=prompt, uc_text=NEGATIVE_PROMPT,
+                    denoising_strength=cfg.denoising_strength,
+                    ddim_steps=cfg.ddim_steps,
+                    reference_img=bgr_u8_to_model(frame_bgr),
+                    mask=mask01_d, mask_blur=cfg.mask_blur,
+                    guidance_schedule_func=cfg.guidance_schedule_func,
+                    seed=cfg.seed, want_init_decoded=False,
+                    sampler=cfg.sampler, cfg_interval=cfg.cfg_interval)
+                raw_ai_d = model_to_bgr_f32d(img_out)
+                if cfg.propagated_pixel_weight >= 0.001:
+                    # propagated-pixel mix (ofgen_pixel_inpaint.py:251-260)
+                    w = jnp.where(mask01_d <= 0.5,
+                                  cfg.propagated_pixel_weight,
+                                  1.0 - cfg.propagated_pixel_weight)[..., None]
+                    ai_d = raw_ai_d * (1.0 - w) + warped_d * w
+                else:
+                    ai_d = raw_ai_d
+                # NOTE: the AI reference stays the keyframe's AI frame —
+                # warping is always keyframe->frame (ofgen_pixel_inpaint.py:338)
+                ai_frame = bgr_f32_to_u8(ai_d)
+
+                if cfg.write_vis:
+                    conf = np.asarray(conf_d[0])
+                    conf_u8 = np.clip(conf * 255, 0, 255).astype(np.uint8)
+                    writer.submit(f"{out_dir}/pixel_confidence_{counter:06d}.png",
+                              conf_u8)
+                    warped_ai = bgr_f32_to_u8(warped_d)
+                    mask_u8 = (np.asarray(mask01_d) * 255).astype(np.uint8)
+                    raw_ai_frame = bgr_f32_to_u8(raw_ai_d)
+                    masked = warped_ai.copy()
+                    masked[mask_u8 > 127] = np.array([0, 0, 255], np.uint8)
+                    vis = np.concatenate([reference_frame, frame_bgr,
+                                          raw_ai_frame, ai_frame, warped_ai,
+                                          masked], axis=1)
+                    writer.submit(f"{out_dir}/vis_{counter:06d}.png", vis)
+
+            writer.submit(f"{out_dir}/converted_{counter:06d}.png", ai_frame)
+    finally:
+        writer.close()
     return out_dir
 
 
