@@ -103,15 +103,20 @@ def test_shipped_uncertainty_artifacts():
         FC.uncertainty_head_init(jax.random.PRNGKey(0), cfg.hidden_dim))
 
     epe = UP.eval_epe(raft_p, cfg, n_scenes=4, h=128, w=192, iters=12)
-    assert epe < 2.0, epe      # zero-flow baseline is ~4.4 px
+    # round-5 artifacts: 4000-step resumed RAFT measures 1.18 here
+    # (held-out 16-scene eval: 1.30; zero-flow baseline ~4.4 px)
+    assert epe < 1.5, epe
 
     ev = UP.evaluate_masks(raft_p, head_p, cfg, n_scenes=4,
                            h=128, w=192)
-    assert ev["fb"]["recall@0.95"] > 0.85, ev
-    assert ev["min"]["recall@0.95"] > 0.85, ev
+    assert ev["fb"]["recall@0.95"] > 0.9, ev
+    assert ev["min"]["recall@0.95"] > 0.9, ev
     # threshold-free ranking quality: the trained head must order
     # disoccluded vs verifiable pixels far above chance (absolute
     # thresholded rates at 128x192 are dominated by the synthetic
-    # RAFT's EPE — see evaluate_masks docstring)
-    assert ev["learned"]["auroc"] > 0.75, ev
+    # RAFT's EPE — see evaluate_masks docstring). Round-5 measured:
+    # fb 0.958, learned 0.853 (BCE-sharpened), min 0.972.
+    assert ev["fb"]["auroc"] > 0.92, ev
+    assert ev["learned"]["auroc"] > 0.80, ev
+    assert ev["min"]["auroc"] > 0.94, ev
     assert ev["min"]["recall@0.95"] >= ev["fb"]["recall@0.95"] - 1e-6
