@@ -35,6 +35,7 @@ from sd_animation_optical_flow_tpu.pipelines.tokenizer import PromptTokenizer
 from sd_animation_optical_flow_tpu.utils.staging import device_put_tree_packed
 
 FRAME_BATCH = int(os.environ.get("FRAME_BATCH", "8"))
+FLOW_CHUNK = int(os.environ.get("FLOW_CHUNK", "4"))
 OUT = os.environ.get("OUT", f"/tmp/pixel_bench_fb{FRAME_BATCH}")
 shutil.rmtree(OUT + "_pixel_warp-tpu", ignore_errors=True)
 
@@ -93,7 +94,8 @@ frames = np.stack([base[8 + i:8 + i + H, 8 + i:8 + i + W]
 
 cfg = PI.PixelInpaintConfig(size=(W, H), keep_every=3,
                             key_frame_thres=1e9,   # force 1 keyframe
-                            frame_batch=FRAME_BATCH, write_vis=False)
+                            frame_batch=FRAME_BATCH, write_vis=False,
+                            flow_chunk=FLOW_CHUNK)
 gen = array_frame_generator(frames, FrameGenConfig(
     size=cfg.size, keep_every=cfg.keep_every, threshold=cfg.key_frame_thres))
 

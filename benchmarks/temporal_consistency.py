@@ -136,7 +136,40 @@ print(f"# input clip warped PSNR: {m:.1f} dB (construction check)",
 cfg = PI.PixelInpaintConfig(size=(W, H), keep_every=3, key_frame_thres=1e9,
                             frame_batch=FRAME_BATCH, write_vis=False)
 
+
+class OracleFlow:
+    """FLOW=oracle: ground-truth flow + in-bounds confidence for the
+    constructed clip (integer shift recovered by brute search, exact by
+    construction). Isolates the pipeline's stabilization machinery —
+    warp + confidence mask + masked inpaint — from the committed
+    synthetic-RAFT artifact's flow quality: on this clip the artifact's
+    ~1px EPE puts fb confidence below the 0.95 threshold everywhere, so
+    with measured flow the pipeline honestly regenerates whole frames
+    (the realistic row of the result table)."""
+
+    def calc_batch_device(self, src, tgt):
+        s = np.asarray(src[..., 0], np.float32)    # [B,H,W] one channel
+        t = np.asarray(tgt[..., 0], np.float32)
+        b, h, w = s.shape
+        flows, confs = [], []
+        for i in range(b):
+            errs = [np.abs(s[i, d:d + 128, d:d + 128]
+                           - t[i, :128, :128]).mean()
+                    for d in range(0, 49)]
+            d = int(np.argmin(errs))
+            fl = np.full((h, w, 2), float(d), np.float32)
+            yy, xx = np.mgrid[0:h, 0:w]
+            inb = (yy + d <= h - 1) & (xx + d <= w - 1)
+            flows.append(fl)
+            confs.append(inb.astype(np.float32))
+        flow = jnp.asarray(np.stack(flows))
+        conf = jnp.asarray(np.stack(confs))
+        return flow, conf, jnp.log(conf + 1e-30)
+
 # --- (a) stabilized: pixel-inpaint pipeline -------------------------------
+if os.environ.get("FLOW", "") == "oracle":
+    flow = OracleFlow()
+    print("# using ORACLE flow (capability isolation row)", flush=True)
 shutil.rmtree(OUT + "_pixel_warp-tpu", ignore_errors=True)
 gen = array_frame_generator(frames, FrameGenConfig(
     size=cfg.size, keep_every=cfg.keep_every, threshold=cfg.key_frame_thres))
