@@ -83,14 +83,17 @@ control = tuple(jnp.zeros(s.shape, DT) for s in res_sd)
 
 def step_doubled(p, t, c, ctrl, x):
     out, _ = U.unet_apply(p, ucfg, x, t, c, strip=strip, control=ctrl)
-    return x + out.astype(x.dtype) * 0.001
+    # out is 4-ch, x is the 9-ch inpaint latent: thread a real scalar
+    # dependency instead of an elementwise add
+    return x + jnp.mean(out.astype(jnp.float32)).astype(x.dtype) * 1e-6
 
 
 def step_dedup(p, t, cu, cc, ctrl, x):
     out, _ = U.unet_apply(p, ucfg, x, t, None, strip=strip, control=ctrl,
                           context_pair=(cu, cc))
     o_u, o_c = jnp.split(out, 2, axis=0)
-    return x + (o_u + 7.0 * (o_c - o_u)).astype(x.dtype) * 0.001
+    e = o_u + 7.0 * (o_c - o_u)
+    return x + jnp.mean(e.astype(jnp.float32)).astype(x.dtype) * 1e-6
 
 
 t_step2 = timed("strip unet step doubled (cfg 2, 64x192)", step_doubled,
@@ -100,7 +103,7 @@ t_step1 = timed("strip unet step DEDUP  (half 1, 64x192)", step_dedup,
 
 def cn_eval(p, t, c, hint, x):
     res = CN.controlnet_apply(p, cn_cfg, x, hint, t, c)
-    return x + res[-1].mean().astype(x.dtype) * 0
+    return x + res[-1].mean().astype(x.dtype) * 1e-6
 
 
 t_cn = timed("controlnet eval (cfg 2, 512x1536 hint)", cn_eval, cn_p,
@@ -110,23 +113,30 @@ img = jnp.zeros((1, H, SW, 3), DT)
 hed_fn = HED.make_hed_fn(hed_p)
 
 
-def hed_eval(img_u8, x):
-    e = hed_fn(img_u8)
-    return x + jnp.mean(e.astype(jnp.float32)).astype(x.dtype) * 0
-
-
-t_hed = timed("hed hint (512x1536)", hed_eval,
-              jnp.zeros((H, SW, 3), jnp.uint8), jnp.zeros((8, 128), DT))
+# hed_fn syncs to host uint8 internally — wall-clock it directly
+_hu8 = np.zeros((H, SW, 3), np.uint8)
+hed_fn(_hu8)
+t_hed = float("inf")
+for _ in range(3):
+    _t0 = time.perf_counter()
+    hed_fn(_hu8)
+    t_hed = min(t_hed, time.perf_counter() - _t0)
+print(f"hed hint (512x1536, incl host pull)       {t_hed*1e3:8.3f} ms",
+      flush=True)
 
 
 def vae_enc(p, img, x):
+    # inject the carry into the input: a loop-invariant body gets
+    # hoisted out of the fori differencing loop (measured -0.03 ms)
+    img = img + jnp.mean(x.astype(jnp.float32)).astype(img.dtype) * 1e-6
     z = V.encode(p, vcfg, img, rng=jax.random.PRNGKey(0), sample=False)
-    return x + jnp.mean(z.astype(jnp.float32)).astype(x.dtype) * 0
+    return x + jnp.mean(z.astype(jnp.float32)).astype(x.dtype) * 1e-6
 
 
 def vae_dec(p, z, x):
+    z = z + jnp.mean(x.astype(jnp.float32)).astype(z.dtype) * 1e-6
     d = V.decode(p, vcfg, z)
-    return x + jnp.mean(d.astype(jnp.float32)).astype(x.dtype) * 0
+    return x + jnp.mean(d.astype(jnp.float32)).astype(x.dtype) * 1e-6
 
 
 t_enc = timed("vae encode 512x1536", vae_enc, vae_p, img,
