@@ -80,9 +80,12 @@ def _add_common(p):
                    help="extra positive-prompt tags")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 weights/compute (TPU fast path)")
-    p.add_argument("--sampler", default="ddim", choices=["ddim", "dpmpp"],
-                   help="dpmpp = DPM-Solver++(2M), usable at ~half the "
-                        "steps of ddim")
+    p.add_argument("--sampler", default="ddim",
+                   help="ddim | dpmpp | dpmpp:N — dpmpp is "
+                        "DPM-Solver++(2M), usable at ~half the steps of "
+                        "ddim; dpmpp:N pins N solver steps (dpmpp:10 at "
+                        "strength 0.4 is the >=4 f/s/chip north-star "
+                        "operating point, BASELINE.md)")
 
 
 def _build_models(args):

@@ -175,14 +175,21 @@ def _img2img_core(unet_params, unet_cfg, vae_params, vae_cfg, sched,
             controlnet_apply(cp, ccfg, x_ctrl, hint, t_ctrl, ctx_ctrl)
             for (cp, hint), ccfg in zip(controls, control_cfgs)]
 
-    if sampler == "dpmpp":
+    if sampler.startswith("dpmpp"):
         # DPM-Solver++(2M): same UNet evals per step, usable with ~half
-        # the steps of DDIM at comparable quality (SURVEY §7 rec.)
+        # the steps of DDIM at comparable quality (SURVEY §7 rec.).
+        # "dpmpp" runs t_enc second-order steps; "dpmpp:N" pins the
+        # step count independently of the DDIM schedule — "dpmpp:10"
+        # at denoising strength 0.4 / 50 ddim_steps is the bench's
+        # >=4 f/s/chip north-star operating point (BASELINE.md): same
+        # entry noise level as the 20-step DDIM path, 10 solver steps.
         assert not use_guidance, "dpmpp sampler has no guidance hooks"
         from .. diffusion.dpm_solver import (dpmpp_2m_decode,
                                              uniform_timesteps_desc)
+        n_solver = int(sampler.split(":", 1)[1]) if ":" in sampler \
+            else max(t_enc, 1)
         dts = uniform_timesteps_desc(sched, ddim.timesteps[t_enc],
-                                     max(t_enc, 1))
+                                     max(n_solver, 1))
         decoded = dpmpp_2m_decode(
             model_fn, sched, dts, x1, cond, uncond, cfg_scale=cfg_scale,
             parameterization=parameterization, rng=k_decode,

@@ -506,3 +506,38 @@ def test_dpmpp_bf16_carry_dtype_stable():
                           cfg_scale=2.0)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_facade_dpmpp_pinned_steps(rng):
+    """sampler="dpmpp:N" pins the solver step count independently of
+    the DDIM schedule — the product API for the >=4 f/s north-star
+    operating point (10 solver steps at strength 0.4/50)."""
+    import jax.numpy as jnp
+
+    import sd_animation_optical_flow_tpu.models.clip as CL
+    import sd_animation_optical_flow_tpu.models.unet as U
+    import sd_animation_optical_flow_tpu.models.vae as V
+    import sd_animation_optical_flow_tpu.pipelines.facades as F
+    from sd_animation_optical_flow_tpu.pipelines.tokenizer import \
+        PromptTokenizer
+
+    k = jax.random.split(rng, 4)
+    vcfg = V.VAEConfig(ch=16, ch_mult=(1, 2, 4, 4), num_res_blocks=1)
+    ucfg = U.UNetConfig(model_channels=16, channel_mult=(1, 2),
+                        attention_resolutions=(1,), num_heads=2,
+                        context_dim=32)
+    ccfg = CL.CLIPTextConfig(vocab_size=100, width=32, layers=1, heads=2)
+    sd = F.StableDiffusionBundle(
+        unet_params=U.unet_init(k[0], ucfg), unet_cfg=ucfg,
+        vae_params=V.vae_init(k[1], vcfg), vae_cfg=vcfg,
+        clip_params=CL.clip_text_init(k[2], ccfg), clip_cfg=ccfg,
+        tokenizer=PromptTokenizer(hf_name_or_path=None))
+    img = jax.random.uniform(k[3], (1, 32, 32, 3), jnp.float32) * 2 - 1
+    outA, _ = F.img2img(sd, img, "a", "", 0.4, 50, seed=3,
+                        sampler="dpmpp:3")
+    outB, _ = F.img2img(sd, img, "a", "", 0.4, 50, seed=3,
+                        sampler="dpmpp:5")
+    assert outA.shape == img.shape
+    assert np.isfinite(np.asarray(outA)).all()
+    # different solver step counts produce different trajectories
+    assert not np.allclose(np.asarray(outA), np.asarray(outB))
