@@ -202,6 +202,12 @@ def test_strip_sp_denoise_matches_single(rng):
 def test_dp_inpaint_batch_sharded_matches_single(rng):
     """8-frame img2img_inpaint_batch sharded 8-ways over dp equals the
     single-device batch (same program, same tiled noise)."""
+    # drop every compiled-executable/tracing cache first: in a full
+    # suite run, ~200 tests of accumulated XLA state reproducibly
+    # segfault XLA:CPU while compiling this 8-virtual-device program
+    # (jax 0.9.0 backend_compile_and_load; passes in isolation) —
+    # freeing the caches removes the pressure
+    jax.clear_caches()
     from sd_animation_optical_flow_tpu.pipelines import facades as F
     from tests.test_pipeline import _tiny_bundle
 
