@@ -18,6 +18,18 @@ from sd_animation_optical_flow_tpu.parallel.sharding import (
 from sd_animation_optical_flow_tpu.training import train_step as TS
 
 
+@pytest.fixture(autouse=True)
+def _fresh_xla_state():
+    """Drop compiled-executable/tracing caches before every test in
+    this module: late in a full-suite run, ~200 tests of accumulated
+    XLA state reproducibly segfault XLA:CPU (jax 0.9.0
+    backend_compile_and_load) while compiling this module's
+    8-virtual-device programs — each passes in isolation. Costs ~1 min
+    of recompiles across the module."""
+    jax.clear_caches()
+    yield
+
+
 def test_eight_devices_available():
     assert jax.device_count() == 8
 
@@ -202,12 +214,6 @@ def test_strip_sp_denoise_matches_single(rng):
 def test_dp_inpaint_batch_sharded_matches_single(rng):
     """8-frame img2img_inpaint_batch sharded 8-ways over dp equals the
     single-device batch (same program, same tiled noise)."""
-    # drop every compiled-executable/tracing cache first: in a full
-    # suite run, ~200 tests of accumulated XLA state reproducibly
-    # segfault XLA:CPU while compiling this 8-virtual-device program
-    # (jax 0.9.0 backend_compile_and_load; passes in isolation) —
-    # freeing the caches removes the pressure
-    jax.clear_caches()
     from sd_animation_optical_flow_tpu.pipelines import facades as F
     from tests.test_pipeline import _tiny_bundle
 
