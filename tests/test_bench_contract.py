@@ -62,3 +62,20 @@ def test_budget_env_and_countdown(monkeypatch):
     bench = _load_bench()
     assert bench.BENCH_BUDGET_S == 77.0
     assert bench._budget_left() <= 77.0
+
+
+def test_dpmpp_runs_inside_batch_loop_with_60s_gate():
+    """Round-4 lesson: the dpmpp measurement sat behind a 120s gate
+    AFTER the batch loop and was budget-skipped every round. It must
+    (a) share the batch's executable (UnifiedBench coefficients, no
+    second load), (b) run immediately after the first successful DDIM
+    measurement, (c) gate at 60s."""
+    src = open("/root/repo/bench.py").read()
+    loop = src[src.index("for i, batch in enumerate(batches):"):
+               src.index("if _STATE[\"best_fps\"] > 0.0 and backend")]
+    assert "ub.measure(co_dpm)" in loop, "dpmpp must run in the batch loop"
+    assert '_budget_left() > 60' in loop
+    assert "dpmpp10_fps" in loop
+    # one executable serves both samplers: coefficient sets come from
+    # the same UnifiedBench instance
+    assert "ub.measure(co_ddim)" in loop
