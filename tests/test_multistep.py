@@ -137,3 +137,42 @@ def test_bf16_carry_stays_bf16(rng):
     out = jax.jit(lambda c, x: M.multistep_decode(model, c, x, cond,
                                                   uncond))(co, x)
     assert out.dtype == jnp.bfloat16
+
+
+def test_dpmpp10_quality_parity_with_ddim20(rng):
+    """The north-star re-scope (BASELINE.md) claims DPM++(2M) at half
+    the step count is an equal-quality sampler, not a turbo
+    approximation. With the oracle eps-model (exact eps for any x_t),
+    both samplers must recover x0; the 10-step second-order solver's
+    residual must be in the same band as 20-step DDIM's (DDIM's own
+    floor is the alphas_cumprod[0] != 1 terminal residual)."""
+    import sd_animation_optical_flow_tpu.diffusion.ddim as D
+
+    x0 = jax.random.normal(rng, (1, 8, 8, 4))
+    sched = S.make_linear_schedule()
+
+    def model_fn(x, t, ctx, control=None):
+        a = sched.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        s = sched.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        x0b = jnp.concatenate([x0, x0], 0) if x.shape[0] != x0.shape[0] \
+            else x0
+        return (x - a * x0b) / s
+
+    ddim = S.make_ddim_params(sched, 50)
+    t_enc = 20
+    noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+    x_t = D.stochastic_encode(ddim, x0, t_enc, noise)
+    cond = D.CondBundle(crossattn=jnp.zeros((1, 3, 8)))
+
+    out_ddim = M.multistep_decode(model_fn, M.make_ddim_coeffs(ddim, t_enc),
+                                  x_t, cond, cond, cfg_scale=1.0)
+    dts = uniform_timesteps_desc(sched, int(ddim.timesteps[t_enc]), 10)
+    out_dpm = M.multistep_decode(
+        model_fn, M.make_dpmpp_coeffs(sched, dts, pad_to=t_enc),
+        x_t, cond, cond, cfg_scale=1.0)
+    err_ddim = float(np.abs(np.asarray(out_ddim) - np.asarray(x0)).mean())
+    err_dpm = float(np.abs(np.asarray(out_dpm) - np.asarray(x0)).mean())
+    # dpmpp-10's data-prediction output has no terminal-alpha residual:
+    # it must be at least as close to the oracle x0 as ddim-20
+    assert err_dpm <= err_ddim * 1.05, (err_dpm, err_ddim)
+    assert err_dpm < 0.05, err_dpm
