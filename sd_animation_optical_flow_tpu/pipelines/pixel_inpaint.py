@@ -50,7 +50,9 @@ class PixelInpaintConfig:
     prompt_extra: str = ""
     write_vis: bool = True
     guidance_schedule_func: Callable[[float], float] = lambda p: 1.0
-    sampler: str = "ddim"        # or 'dpmpp' (DPM-Solver++ 2M)
+    sampler: str = "ddim"        # or 'dpmpp' / 'dpmpp:N' (DPM-Solver++ 2M,
+                                 # N pinned solver steps; 'dpmpp:10' at
+                                 # strength 0.4 is the north-star point)
     # turbo knobs (labeled approximations, off by default): CFG caching
     # interval for the inpaint denoise; deepcache for the plain-img2img
     # keyframe generation
