@@ -20,7 +20,7 @@ weights):
   KF=1 adds  the keyframe+KV pipeline (ofgen_keyframe_inpaint mode;
              slow through a remote tunnel, off by default).
 
-Usage: [LEARNED=1] [KF=1] python benchmarks/temporal_consistency.py
+Usage: [LEARNED=1] [KF=1] [FLOW=oracle] [PPW=0.9] python benchmarks/temporal_consistency.py
 """
 import os
 import shutil
@@ -62,6 +62,10 @@ H, W = 512, 768
 SHIFT = 3                     # px/processed-frame, both axes (keep_every 3)
 FRAME_BATCH = int(os.environ.get("FRAME_BATCH", "8"))
 LEARNED = os.environ.get("LEARNED", "1") == "1"
+PPW = float(os.environ.get("PPW", "0"))   # propagated_pixel_weight row:
+# the reference's propagation knob (ofgen_pixel_inpaint.py:251-260);
+# PPW=0.9 with FLOW=oracle is the strongest banked stabilization row
+# (+8.28 dB over naive, DECISIONS.md)
 OUT = os.environ.get("OUT", "/tmp/temporal_consistency")
 
 DT = jnp.bfloat16
@@ -134,7 +138,8 @@ print(f"# input clip warped PSNR: {m:.1f} dB (construction check)",
       flush=True)
 
 cfg = PI.PixelInpaintConfig(size=(W, H), keep_every=3, key_frame_thres=1e9,
-                            frame_batch=FRAME_BATCH, write_vis=False)
+                            frame_batch=FRAME_BATCH, write_vis=False,
+                            propagated_pixel_weight=PPW)
 
 
 class OracleFlow:
